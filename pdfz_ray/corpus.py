@@ -198,11 +198,15 @@ def make_media(n_items: int, seed: int = 42) -> pa.Table:
     codecs = ["dct", "flate", "raw-rgb", "raw-gray"]
     rows = []
     for i in range(n_items):
-        w = int(rng.integers(4, 64))
-        h = int(rng.integers(4, 64))
+        w = int(rng.integers(4, 48))
+        h = int(rng.integers(4, 48))
         codec = codecs[i % 4]
+        if i % 11 == 10:
+            codec = "jbig2"  # unsupported filter → decode failure
         nbytes = w * h * (3 if codec == "raw-rgb" else 1)
-        payload = rng.integers(0, 256, size=min(nbytes, 4096), dtype=np.uint8).tobytes()
+        if i % 7 == 6:
+            nbytes = max(1, nbytes // 2)  # truncated buffer → size-check failure
+        payload = rng.integers(0, 256, size=nbytes, dtype=np.uint8).tobytes()
         rows.append(
             {
                 "media_ref": f"media-{i:06d}.bin",

@@ -48,13 +48,15 @@ def _job_arrays(doc_ids: pa.Array, jobs: dict[str, Job]):
     return start, count, ok
 
 
-def _empty_output(doc_ids: pa.Array, failed: np.ndarray) -> pa.Table:
+def _empty_output(
+    doc_ids: pa.Array, failed: np.ndarray, emit_payloads: bool = False
+) -> pa.Table:
     n = len(doc_ids)
     empty_struct = pa.array([], type=SPAN_STRUCT)
     offsets = pa.array(np.zeros(n + 1, np.int32))
     spans = pa.ListArray.from_arrays(offsets, empty_struct)
     zeros = pa.array(np.zeros(n, np.int64))
-    return pa.Table.from_arrays(
+    tbl = pa.Table.from_arrays(
         [
             doc_ids,
             spans,
@@ -65,15 +67,29 @@ def _empty_output(doc_ids: pa.Array, failed: np.ndarray) -> pa.Table:
         ],
         schema=OUTPUT_SCHEMA,
     )
+    if emit_payloads:
+        empty_payloads = pa.ListArray.from_arrays(
+            pa.array(np.zeros(n + 1, np.int32)), pa.array([], pa.string())
+        )
+        tbl = tbl.append_column("media_payloads", empty_payloads)
+    return tbl
 
 
-def extract_batch(batch: pa.Table, jobs: dict[str, Job] | None = None) -> pa.Table:
+def extract_batch(
+    batch: pa.Table,
+    jobs: dict[str, Job] | None = None,
+    emit_payloads: bool = False,
+) -> pa.Table:
     """documents batch (doc_id, spans) → OUTPUT_SCHEMA batch.
 
     One output row per input row (duplicates are resolved upstream); failed
     docs (corrupt sentinel / invalid engine) come back with empty span lists
     and status="failed" so lineage flows without aborting the pipeline
     (unlike the reference's worker panic, queue_handler.rs:51).
+
+    With ``emit_payloads`` a ``media_payloads: list<string>`` side column is
+    added (payload seed per emitted media span, span order) for the
+    downstream OCR actor-pool stage.
     """
     jobs = jobs or {}
     n = batch.num_rows
@@ -88,7 +104,7 @@ def extract_batch(batch: pa.Table, jobs: dict[str, Job] | None = None) -> pa.Tab
 
     flat = spans_col.flatten()
     if len(flat) == 0:
-        return _empty_output(doc_ids, failed)
+        return _empty_output(doc_ids, failed, emit_payloads)
 
     parent = pc.list_parent_indices(spans_col).to_numpy().astype(np.int64)
     offset = flat.field("offset").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -106,7 +122,7 @@ def extract_batch(batch: pa.Table, jobs: dict[str, Job] | None = None) -> pa.Tab
     # page ordering, mod.rs:72)
     alive_idx = np.nonzero(~failed[parent])[0]
     if len(alive_idx) == 0:
-        return _empty_output(doc_ids, failed)
+        return _empty_output(doc_ids, failed, emit_payloads)
     order = np.lexsort((alive_idx, offset[alive_idx], parent[alive_idx]))
     sidx = alive_idx[order]
     p_s, o_s = parent[sidx], offset[sidx]
@@ -217,7 +233,7 @@ def extract_batch(batch: pa.Table, jobs: dict[str, Job] | None = None) -> pa.Tab
     empty_mask = pc.equal(page_text, "").to_numpy(zero_copy_only=False)
     empty_pages = np.bincount(tp[empty_mask], minlength=n)
 
-    return pa.Table.from_arrays(
+    out = pa.Table.from_arrays(
         [
             doc_ids,
             spans_out,
@@ -228,6 +244,18 @@ def extract_batch(batch: pa.Table, jobs: dict[str, Job] | None = None) -> pa.Tab
         ],
         schema=OUTPUT_SCHEMA,
     )
+    if emit_payloads:
+        # payloads of emitted media spans, already in (doc, page, index)
+        # order — exactly the per-doc media span order of the output
+        payload_values = sp_text.take(pa.array(sidx[media_rows]))
+        pay_counts = np.bincount(med_parent, minlength=n)
+        pay_offsets = np.zeros(n + 1, np.int64)
+        np.cumsum(pay_counts, out=pay_offsets[1:])
+        payloads = pa.ListArray.from_arrays(
+            pa.array(pay_offsets, type=pa.int32()), payload_values
+        )
+        out = out.append_column("media_payloads", payloads)
+    return out
 
 
 def flatten_output(batch: pa.Table) -> pa.Table:

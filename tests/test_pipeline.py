@@ -1,0 +1,133 @@
+"""End-to-end flagship pipeline tests on Ray: golden equality, dedup,
+actor-pool OCR, checkpoint/resume, partition metrics."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pdfz_ray.corpus import make_documents, make_jobs
+from pdfz_ray.jobs import jobs_table_to_lookup
+from pdfz_ray.oracle import extract_corpus, flatten_results
+
+
+@pytest.fixture(scope="module")
+def corpus_files(tmp_path_factory):
+    d = tmp_path_factory.mktemp("corpus")
+    tbl = make_documents(120, monster_spans=200)
+    paths = []
+    for i in range(4):
+        p = str(d / f"docs-{i}.parquet")
+        pq.write_table(tbl.slice(i * 33, 33), p)
+        paths.append(p)
+    return tbl, paths
+
+
+def _oracle_flat(tbl, jobs=None):
+    return flatten_results(extract_corpus(tbl.to_pylist(), jobs))
+
+
+def test_pipeline_matches_oracle(ray_session, corpus_files):
+    import ray.data as rd
+
+    from pdfz_ray.pipelines.extract_pipeline import build_extract_pipeline
+    from pdfz_ray.stages.extract import flatten_output
+
+    tbl, paths = corpus_files
+    jobs = jobs_table_to_lookup(make_jobs(120))
+    ds = rd.read_parquet(paths)
+    out = build_extract_pipeline(ds, jobs, ocr_concurrency=2)
+    flat = out.map_batches(flatten_output, batch_format="pyarrow")
+    got = sorted(
+        (tuple(r.values()) for r in flat.take_all()),
+        key=lambda t: (t[0], t[1]),
+    )
+    want = sorted(
+        (tuple(r.values()) for r in _oracle_flat(tbl, jobs)),
+        key=lambda t: (t[0], t[1]),
+    )
+    assert got == want
+
+
+def test_pipeline_dedup_exact(ray_session, corpus_files):
+    import ray.data as rd
+
+    from pdfz_ray.pipelines.extract_pipeline import build_extract_pipeline
+
+    tbl, paths = corpus_files
+    n_unique = len(set(tbl.column("doc_id").to_pylist()))
+    ds = rd.read_parquet(paths)
+    out = build_extract_pipeline(ds, ocr=False)
+    assert out.count() == n_unique
+
+
+def test_run_partitioned_and_resume(ray_session, corpus_files, tmp_path):
+    from pdfz_ray.pipelines.extract_pipeline import run_partitioned
+    from pdfz_ray.stages.extract import flatten_output
+
+    tbl, paths = corpus_files
+    out_dir = str(tmp_path / "out")
+    res1 = run_partitioned(paths, out_dir, partition_size=2, ocr_concurrency=2)
+    assert res1["partitions_run"] == [0, 1]
+    assert res1["partitions_skipped"] == []
+
+    # resume: nothing to do
+    res2 = run_partitioned(paths, out_dir, partition_size=2, ocr_concurrency=2)
+    assert res2["partitions_run"] == []
+    assert res2["partitions_skipped"] == [0, 1]
+
+    # simulate a crash: delete one committed partition's manifest line
+    man = res1["manifest"]
+    lines = open(man).read().strip().splitlines()
+    with open(man, "w") as f:
+        f.write(lines[0] + "\n")
+    res3 = run_partitioned(paths, out_dir, partition_size=2, ocr_concurrency=2)
+    assert res3["partitions_run"] == [1]
+
+    # final output identical to the oracle — including cross-partition
+    # duplicate doc_ids (corpus appends dup rows at the table end, so they
+    # land in a different partition than their originals)
+    import ray.data as rd
+
+    final = rd.read_parquet(res3["output_files"])
+    flat = final.map_batches(flatten_output, batch_format="pyarrow")
+    got = sorted((tuple(r.values()) for r in flat.take_all()))
+    want = sorted((tuple(r.values()) for r in _oracle_flat(tbl)))
+    assert got == want
+
+    # manifest lineage metrics are consistent with the oracle's counters
+    oracle = extract_corpus(tbl.to_pylist())
+    import json
+
+    rows = [json.loads(l) for l in open(man)]
+    assert sum(r["docs"] for r in rows) == len(oracle)
+    assert sum(r["pages"] for r in rows) == sum(o.pages for o in oracle)
+    assert sum(r["decode_failures"] for r in rows) == sum(
+        o.decode_failures for o in oracle
+    )
+    assert sum(r["empty_pages"] for r in rows) == sum(o.empty_pages for o in oracle)
+    assert sum(r["docs_failed"] for r in rows) == sum(
+        1 for o in oracle if o.status == "failed"
+    )
+
+
+def test_interleave_ingest(ray_session):
+    import ray.data as rd
+
+    from pdfz_ray.pipelines.extract_pipeline import (
+        build_extract_pipeline,
+        interleave_documents,
+    )
+
+    ds = rd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    docs = ds.map_batches(interleave_documents, batch_format="pyarrow")
+    out = build_extract_pipeline(docs, dedup=False, ocr=False)
+    n_in = ds.count()
+    assert out.count() == n_in
+    sample = out.take(3)
+    for row in sample:
+        assert row["status"] == "done"
+        assert row["spans"][0]["kind"] == "text"
