@@ -1,16 +1,14 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the pdfz_ray engine (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship extraction pipeline over sf0.001;
+``queries()`` exposes one callable per implemented operator (SURVEY.md §2 +
+the training-data operators); ``oracle_sql()`` gives the DuckDB-equivalent
+SQL. Extraction queries run over a deterministic synthetic interleaved-span
+fixture (written once under /tmp/pdfz_ray_fixtures — the SQL reads the same
+parquet, so both engines see identical input); the rest run over the
+driver's parquet views.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver — nothing here calls ray.init/shutdown.
 """
 
 from __future__ import annotations
@@ -18,27 +16,534 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+# fixture path baked into the oracle SQL (driver correctness runs at sf0.01)
+FIX = "/tmp/pdfz_ray_fixtures/sf0.01"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: flat docs → interleaved spans → extract (+OCR actor pool)
+    → flattened span rows, on /root/testdata/sf0.001."""
+    import ray.data
+
+    from pdfz_ray.pipelines.extract_pipeline import (
+        build_extract_pipeline,
+        interleave_documents,
+    )
+    from pdfz_ray.stages.extract import flatten_output
+
+    ds = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    docs = ds.map_batches(interleave_documents, batch_format="pyarrow")
+    out = build_extract_pipeline(docs, dedup=False, ocr=True, ocr_concurrency=2)
+    return out.map_batches(flatten_output, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# query helpers
+# ---------------------------------------------------------------------------
+
+
+def _fixture_docs(sf_dir: str):
+    import ray.data
+
+    from pdfz_ray.sources.fixtures import ensure_fixtures
+
+    paths = ensure_fixtures(sf_dir)
+    return ray.data.read_parquet(paths["documents_spans"]), paths
+
+
+def _q_extract_flat(sf_dir: str):
+    from pdfz_ray.pipelines.extract_pipeline import build_extract_pipeline
+    from pdfz_ray.stages.extract import flatten_output
+
+    ds, _ = _fixture_docs(sf_dir)
+    out = build_extract_pipeline(ds, ocr=False)
+    return out.map_batches(flatten_output, batch_format="pyarrow")
+
+
+def _q_extract_windowed(sf_dir: str):
+    from pdfz_ray.jobs import jobs_table_to_lookup
+    from pdfz_ray.pipelines.extract_pipeline import build_extract_pipeline
+    from pdfz_ray.stages.extract import flatten_output
+
+    ds, paths = _fixture_docs(sf_dir)
+    jobs = jobs_table_to_lookup(pq.read_table(paths["jobs"]))
+    out = build_extract_pipeline(ds, jobs, ocr=False)
+    return out.map_batches(flatten_output, batch_format="pyarrow")
+
+
+def _q_ocr_spans(sf_dir: str):
+    """Media spans with their (side-channel) OCR text — the work the
+    reference does then discards (M3)."""
+    from pdfz_ray.pipelines.extract_pipeline import build_extract_pipeline
+
+    ds, _ = _fixture_docs(sf_dir)
+    out = build_extract_pipeline(ds, ocr=True, ocr_concurrency=2)
+
+    def flatten_media_ocr(batch: pa.Table) -> pa.Table:
+        done = batch.filter(pc.equal(batch.column("status"), "done"))
+        spans = done.column("spans").combine_chunks()
+        flat = spans.flatten()
+        parent = pc.list_parent_indices(spans)
+        is_media = pc.equal(flat.field("kind"), "media")
+        ocr_flat = done.column("ocr_text").combine_chunks().flatten()
+        doc_ids = done.column("doc_id").combine_chunks().take(parent)
+        t = pa.Table.from_arrays(
+            [doc_ids, flat.field("offset"), flat.field("media_ref")],
+            names=["doc_id", "page_num", "media_ref"],
+        ).filter(is_media)
+        return t.append_column("ocr_text", ocr_flat)
+
+    return out.map_batches(flatten_media_ocr, batch_format="pyarrow")
+
+
+def _q_status_rollup(sf_dir: str):
+    from pdfz_ray.functions.analytics import status_rollup
+
+    ds, _ = _fixture_docs(sf_dir)
+    return status_rollup(ds)
+
+
+def _q_top_largest_docs(sf_dir: str):
+    from pdfz_ray.functions.analytics import top_largest_docs
+
+    ds, _ = _fixture_docs(sf_dir)
+    return top_largest_docs(ds, k=10)
+
+
+def _q_page_stats(sf_dir: str):
+    from pdfz_ray.functions.analytics import page_stats
+
+    ds, _ = _fixture_docs(sf_dir)
+    return page_stats(ds)
+
+
+def _q_duplicate_doc_count(sf_dir: str):
+    from pdfz_ray.functions.analytics import duplicate_doc_count
+
+    ds, _ = _fixture_docs(sf_dir)
+    return duplicate_doc_count(ds)
+
+
+def _q_media_decode(sf_dir: str):
+    import ray.data
+
+    from pdfz_ray.sources.fixtures import ensure_fixtures
+    from pdfz_ray.stages.media import MediaDecodeStage
+
+    paths = ensure_fixtures(sf_dir)
+    ds = ray.data.read_parquet(paths["media"])
+    out = ds.map_batches(
+        MediaDecodeStage, batch_format="pyarrow", concurrency=(1, 2)
+    )
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("ok"),
+            "ok",
+            pc.cast(t.column("ok"), pa.int32()),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _docs_table(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+
+def _q_text_stats(sf_dir: str):
+    from pdfz_ray.functions.text import text_stats_batch
+
+    return _docs_table(sf_dir).map_batches(text_stats_batch, batch_format="pyarrow")
+
+
+def _q_quality_filter(sf_dir: str):
+    from pdfz_ray.functions.text import quality_filter_batch
+
+    return _docs_table(sf_dir).map_batches(
+        quality_filter_batch, batch_format="pyarrow"
+    )
+
+
+def _q_token_count(sf_dir: str):
+    from pdfz_ray.functions.text import token_count_batch
+
+    return _docs_table(sf_dir).map_batches(token_count_batch, batch_format="pyarrow")
+
+
+def _q_fingerprint(sf_dir: str):
+    from pdfz_ray.functions.text import fingerprint_batch
+
+    out = _docs_table(sf_dir).map_batches(fingerprint_batch, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "fingerprint"])
+
+
+def _q_rolling_fingerprint(sf_dir: str):
+    from pdfz_ray.functions.text import fingerprint_batch
+
+    out = _docs_table(sf_dir).map_batches(fingerprint_batch, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "rolling64"])
+
+
+def _q_lang_id(sf_dir: str):
+    from pdfz_ray.functions.text import LangIdStage
+
+    return _docs_table(sf_dir).map_batches(
+        LangIdStage, batch_format="pyarrow", concurrency=(1, 2)
+    )
+
+
+def _q_lang_distribution(sf_dir: str):
+    from pdfz_ray.functions.analytics import lang_distribution
+
+    return lang_distribution(sf_dir)
+
+
+def _q_exact_dedup(sf_dir: str):
+    from pdfz_ray.functions.dedup import exact_dedup_docs
+
+    return exact_dedup_docs(_docs_table(sf_dir))
+
+
+def _q_ngram_jaccard(sf_dir: str):
+    from pdfz_ray.functions.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs_table(sf_dir), threshold=0.2)
+
+
+def _q_minhash_lsh(sf_dir: str):
+    from pdfz_ray.functions.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs_table(sf_dir), threshold=0.2)
+
+
+def _q_simhash(sf_dir: str):
+    from pdfz_ray.functions.dedup import simhash_pairs
+
+    return simhash_pairs(_docs_table(sf_dir), max_hamming=3)
+
+
+def _embeddings(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _q_embedding_neardup(sf_dir: str):
+    from pdfz_ray.functions.dedup import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(_embeddings(sf_dir), threshold=0.45)
+
+
+def _q_knn_brute(sf_dir: str):
+    from pdfz_ray.functions.similarity import knn_brute, load_query_matrix
+
+    ids, mat = load_query_matrix(sf_dir, n_queries=5)
+    return knn_brute(_embeddings(sf_dir), mat, ids, k=10)
+
+
+def _q_knn_lsh(sf_dir: str):
+    from pdfz_ray.functions.similarity import knn_lsh, load_query_matrix
+
+    ids, mat = load_query_matrix(sf_dir, n_queries=5)
+    return knn_lsh(_embeddings(sf_dir), mat, ids, k=10)
+
+
+def _q_lineitem_pricing(sf_dir: str):
+    from pdfz_ray.functions.analytics import lineitem_pricing_summary
+
+    return lineitem_pricing_summary(sf_dir)
+
+
+def _q_orders_by_nation(sf_dir: str):
+    from pdfz_ray.functions.analytics import orders_by_nation
+
+    return orders_by_nation(sf_dir)
+
+
+def _q_events_hourly(sf_dir: str):
+    from pdfz_ray.functions.analytics import events_hourly
+
+    return events_hourly(sf_dir)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        # extraction core (synthetic interleaved fixture)
+        "extract_flat": _q_extract_flat,
+        "extract_windowed": _q_extract_windowed,
+        "ocr_spans": _q_ocr_spans,
+        "status_rollup": _q_status_rollup,
+        "top_largest_docs": _q_top_largest_docs,
+        "page_stats": _q_page_stats,
+        "duplicate_doc_count": _q_duplicate_doc_count,
+        "media_decode": _q_media_decode,
+        # text analysis (driver documents table)
+        "text_stats": _q_text_stats,
+        "quality_filter": _q_quality_filter,
+        "token_count": _q_token_count,
+        "fingerprint": _q_fingerprint,
+        "rolling_fingerprint": _q_rolling_fingerprint,
+        "lang_id": _q_lang_id,
+        "lang_distribution": _q_lang_distribution,
+        # dedup family
+        "exact_dedup": _q_exact_dedup,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "minhash_lsh": _q_minhash_lsh,
+        "simhash": _q_simhash,
+        "embedding_neardup": _q_embedding_neardup,
+        # similarity search
+        "knn_brute": _q_knn_brute,
+        "knn_lsh": _q_knn_lsh,
+        # wide-op analytics (TPC-H-ish tables)
+        "lineitem_pricing": _q_lineitem_pricing,
+        "orders_by_nation": _q_orders_by_nation,
+        "events_hourly": _q_events_hourly,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_DOCS_SRC = f"read_parquet('{FIX}/documents_spans.parquet')"
+_JOBS_SRC = f"read_parquet('{FIX}/jobs.parquet')"
+_MEDIA_SRC = f"read_parquet('{FIX}/media.parquet')"
+
+_EXTRACT_CORE = f"""
+WITH docs AS (
+  SELECT doc_id, spans FROM {_DOCS_SRC}
+  WHERE doc_id NOT LIKE '%-corrupt'
+  QUALIFY row_number() OVER (PARTITION BY doc_id) = 1
+),
+{{jobs_cte}}
+flat AS (
+  SELECT doc_id, unnest(spans, recursive := true),
+         generate_subscripts(spans, 1) AS arr_idx
+  FROM docs
+),
+pages AS (
+  SELECT doc_id, "offset" AS page_num,
+         coalesce(string_agg(CASE WHEN kind='text' THEN text END, ' '
+                             ORDER BY arr_idx), '') AS page_text
+  FROM flat GROUP BY doc_id, "offset"
+),
+win AS (
+  SELECT p.doc_id, p.page_num, p.page_text,
+         count(*) OVER (PARTITION BY p.doc_id) AS n_pages,
+         coalesce(j.start_page, 1) AS sp, coalesce(j.page_count, 0) AS pcnt
+  FROM pages p LEFT JOIN jobs j ON p.doc_id = j.doc_id
+),
+kept AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY page_num) AS krank,
+         CASE WHEN pcnt = 0 THEN n_pages ELSE least(pcnt, n_pages) END AS page_limit
+  FROM win WHERE page_num >= greatest(sp - 1, 0)
+),
+final_pages AS (SELECT doc_id, page_num, page_text FROM kept WHERE krank <= page_limit),
+media AS (
+  SELECT doc_id, "offset" AS page_num, text,
+         row_number() OVER (PARTITION BY doc_id, "offset" ORDER BY arr_idx) - 1 AS media_i
+  FROM flat WHERE kind = 'media'
+),
+media_ok AS (
+  SELECT m.doc_id, m.page_num, m.media_i, m.text AS payload,
+         m.doc_id || '_' || m.page_num || '_' || m.media_i || '.png' AS media_ref
+  FROM media m JOIN final_pages f ON m.doc_id = f.doc_id AND m.page_num = f.page_num
+  WHERE NOT starts_with(m.text, '!bad')
+)
+"""
+
+_NO_JOBS_CTE = "jobs AS (SELECT NULL AS doc_id, NULL AS start_page, NULL AS page_count WHERE false),"
+_JOBS_CTE = f"jobs AS (SELECT doc_id, start_page, page_count FROM {_JOBS_SRC}),"
+
+_EXTRACT_TAIL = """
+, allr AS (
+  SELECT doc_id, page_num, 0 AS is_media, -1 AS mi, 'text' AS kind,
+         page_text AS text, '' AS media_ref FROM final_pages
+  UNION ALL
+  SELECT doc_id, page_num, 1, media_i, 'media', '', media_ref FROM media_ok
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id
+            ORDER BY page_num, is_media, mi) - 1 AS INTEGER) AS seq,
+       CAST(page_num AS INTEGER) AS page_num, kind, text, media_ref
+FROM allr
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    # make sure the fixture parquet the SQL reads exists (idempotent)
+    from pdfz_ray.sources.fixtures import ensure_fixtures
+
+    ensure_fixtures("/root/testdata/sf0.01")
+
+    extract_flat = (
+        _EXTRACT_CORE.replace("{jobs_cte}", _NO_JOBS_CTE) + _EXTRACT_TAIL
+    )
+    extract_windowed = (
+        _EXTRACT_CORE.replace("{jobs_cte}", _JOBS_CTE) + _EXTRACT_TAIL
+    )
+    ocr_spans = (
+        _EXTRACT_CORE.replace("{jobs_cte}", _NO_JOBS_CTE)
+        + """
+SELECT doc_id, CAST(page_num AS INTEGER) AS page_num, media_ref,
+       'tess:' || substr(md5('tesseract|' || payload), 1, 12) AS ocr_text
+FROM media_ok
+"""
+    )
+    return {
+        "extract_flat": extract_flat,
+        "extract_windowed": extract_windowed,
+        "ocr_spans": ocr_spans,
+        "status_rollup": f"""
+            SELECT CASE WHEN doc_id LIKE '%-corrupt' THEN 'failed' ELSE 'done' END AS status,
+                   count(*) AS n_docs
+            FROM {_DOCS_SRC} GROUP BY 1
+        """,
+        "top_largest_docs": f"""
+            SELECT doc_id, CAST(len(spans) AS BIGINT) AS n_spans
+            FROM {_DOCS_SRC}
+            ORDER BY n_spans DESC, doc_id LIMIT 10
+        """,
+        "page_stats": f"""
+            WITH docs AS (
+              SELECT row_number() OVER () AS rid, doc_id, spans FROM {_DOCS_SRC}
+              WHERE doc_id NOT LIKE '%-corrupt'
+            ),
+            flat AS (
+              SELECT rid, unnest(spans, recursive := true) FROM docs
+            ),
+            pg AS (
+              SELECT rid, "offset",
+                     max(CASE WHEN kind = 'text' THEN 1 ELSE 0 END) AS has_text
+              FROM flat GROUP BY rid, "offset"
+            )
+            SELECT CAST((SELECT count(*) FROM pg) AS BIGINT) AS n_pages,
+                   CAST((SELECT coalesce(sum(1 - has_text), 0) FROM pg) AS BIGINT) AS n_empty_pages,
+                   CAST((SELECT count(*) FROM docs) AS BIGINT) AS n_docs
+        """,
+        "duplicate_doc_count": f"""
+            SELECT count(*) AS n_rows,
+                   count(DISTINCT doc_id) AS n_distinct_ids,
+                   count(*) - count(DISTINCT doc_id) AS n_dup_rows
+            FROM {_DOCS_SRC}
+        """,
+        "media_decode": f"""
+            WITH m AS (SELECT *, CASE codec
+                  WHEN 'dct' THEN TRUE
+                  WHEN 'flate' THEN TRUE
+                  WHEN 'raw-rgb' THEN octet_length(payload) = width * height * 3
+                  WHEN 'raw-gray' THEN octet_length(payload) = width * height
+                  ELSE FALSE END AS is_ok
+              FROM {_MEDIA_SRC})
+            SELECT media_ref, CAST(is_ok AS INTEGER) AS ok,
+                   CAST(CASE WHEN NOT is_ok THEN 0 WHEN codec = 'flate' THEN height ELSE width END AS INTEGER) AS out_width,
+                   CAST(CASE WHEN NOT is_ok THEN 0 WHEN codec = 'flate' THEN width ELSE height END AS INTEGER) AS out_height,
+                   CAST(CASE WHEN is_ok THEN octet_length(payload) ELSE 0 END AS BIGINT) AS n_bytes,
+                   CASE WHEN is_ok THEN '' ELSE 'Unsupported filter/color space' END AS error
+            FROM m
+        """,
+        "text_stats": r"""
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+                   CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                        t -> t IN ('the','a','and','of','to','in','is','on','for','data'))) AS BIGINT) AS n_stopwords,
+                   CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct
+            FROM documents
+        """,
+        "quality_filter": r"""
+            WITH s AS (
+              SELECT doc_id,
+                     CAST(length(text) AS BIGINT) AS n_chars,
+                     CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+                     CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                          t -> t IN ('the','a','and','of','to','in','is','on','for','data'))) AS BIGINT) AS n_stopwords,
+                     CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct
+              FROM documents)
+            SELECT * FROM s
+            WHERE n_tokens >= 20 AND (n_stopwords * 100) // n_tokens < 40
+        """,
+        "token_count": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_subwords
+            FROM documents
+        """,
+        "fingerprint": r"""
+            SELECT doc_id,
+                   md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+            FROM documents
+        """,
+        "lang_distribution": """
+            SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+        """,
+        "exact_dedup": """
+            SELECT md5(text) AS content_hash, min(doc_id) AS doc_id,
+                   count(*) AS n_copies
+            FROM documents GROUP BY md5(text)
+        """,
+        "ngram_jaccard": r"""
+            WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(generate_series(1, len(w) - 2),
+                                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+              FROM toks),
+            p AS (
+              SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                     len(list_intersect(a.g, b.g)) AS inter,
+                     len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS uni
+              FROM grams a JOIN grams b ON a.doc_id < b.doc_id)
+            SELECT doc_id_a, doc_id_b FROM p
+            WHERE inter > 0 AND inter * 1.0 / uni >= 0.2
+            ORDER BY doc_id_a, doc_id_b
+        """,
+        "embedding_neardup": """
+            SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+            ORDER BY 1, 2
+        """,
+        "knn_brute": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+                       ORDER BY vec_id LIMIT 5),
+            s AS (SELECT q.qid AS query_id, e.vec_id,
+                         list_cosine_similarity(q.qe, e.embedding) AS sim
+                  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid)
+            SELECT query_id, vec_id, CAST(rnk AS BIGINT) AS rank FROM (
+              SELECT query_id, vec_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, vec_id) AS rnk
+              FROM s)
+            WHERE rnk <= 10
+        """,
+        "lineitem_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   count(*) AS n_rows
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "orders_by_nation": """
+            SELECT n_name, count(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "events_hourly": """
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   count(*) AS n_events,
+                   min(value) AS min_value, max(value) AS max_value
+            FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+    }

@@ -1,0 +1,248 @@
+"""Operational analytics — the SQL-checkable query surface (SURVEY.md §2.6).
+
+The reference keeps its operational state in Redis (status, progress,
+in-flight sets); the rebuild exposes the same information as Dataset
+queries: status rollups, top-k largest docs, empty-page rates, dedup
+counts. Plus the wide-operation demos over the driver's TPC-H-ish tables:
+pre-aggregated groupbys (partial combine inside map_batches before the
+shuffle) and a broadcast join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+
+def status_rollup(docs_ds: "ray.data.Dataset") -> pa.Table:
+    """status → doc count over the interleaved input (corrupt sentinel =
+    failed; mirrors GET /progress status mapping, api/src/server.ts:157-180).
+
+    Pre-aggregates per batch (2 rows out per block) before the tiny final
+    groupby — no full shuffle.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        corrupt = pc.ends_with(batch.column("doc_id"), pattern="-corrupt")
+        n_fail = int(pc.sum(pc.cast(corrupt, pa.int64())).as_py() or 0)
+        return pa.Table.from_pydict(
+            {
+                "status": ["failed", "done"],
+                "n": [n_fail, batch.num_rows - n_fail],
+            }
+        )
+
+    partials = docs_ds.map_batches(partial, batch_format="pyarrow")
+    from ray.data.aggregate import Sum
+
+    out = partials.groupby("status").aggregate(Sum("n", alias_name="n_docs"))
+    return out.to_pandas()
+
+
+def top_largest_docs(docs_ds: "ray.data.Dataset", k: int = 10) -> pa.Table:
+    """Top-k docs by span count (desc, doc_id asc tiebreak). Projects to
+    (doc_id, n_spans) before the sort so the shuffle moves 2 columns."""
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                batch.column("doc_id"),
+                pc.cast(
+                    pc.fill_null(pc.list_value_length(batch.column("spans")), 0),
+                    pa.int64(),
+                ),
+            ],
+            names=["doc_id", "n_spans"],
+        )
+
+    proj = docs_ds.map_batches(project, batch_format="pyarrow")
+    top = proj.sort(["n_spans", "doc_id"], descending=[True, False]).limit(k)
+    return top.to_pandas()
+
+
+def page_stats(docs_ds: "ray.data.Dataset") -> pa.Table:
+    """(n_pages, n_empty_pages, n_docs) over non-corrupt docs — the
+    empty-page-rate surface (M4 silent-swallow path), as exact integers."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.ends_with(batch.column("doc_id"), pattern="-corrupt"))
+        batch = batch.filter(keep)
+        spans = batch.column("spans").combine_chunks()
+        flat = spans.flatten()
+        if len(flat) == 0:
+            return pa.Table.from_pydict(
+                {"n_pages": [0], "n_empty_pages": [0], "n_docs": [batch.num_rows]}
+            )
+        parent = pc.list_parent_indices(spans).to_numpy().astype(np.int64)
+        offset = flat.field("offset").to_numpy(zero_copy_only=False).astype(np.int64)
+        is_text = pc.equal(flat.field("kind"), "text").to_numpy(zero_copy_only=False)
+        # distinct (doc, page); a page is empty iff it has no text span
+        keys = parent * (1 << 32) + offset
+        uniq, inv = np.unique(keys, return_inverse=True)
+        has_text = np.zeros(len(uniq), bool)
+        np.logical_or.at(has_text, inv, is_text)
+        return pa.Table.from_pydict(
+            {
+                "n_pages": [len(uniq)],
+                "n_empty_pages": [int((~has_text).sum())],
+                "n_docs": [batch.num_rows],
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    partials = docs_ds.map_batches(partial, batch_format="pyarrow")
+    df = partials.map_batches(
+        lambda t: t.append_column("g", pa.array([1] * t.num_rows, pa.int64())),
+        batch_format="pyarrow",
+    )
+    out = (
+        df.groupby("g")
+        .aggregate(
+            Sum("n_pages", alias_name="n_pages"),
+            Sum("n_empty_pages", alias_name="n_empty_pages"),
+            Sum("n_docs", alias_name="n_docs"),
+        )
+        .to_pandas()
+        .drop(columns=["g"])
+    )
+    return out
+
+
+def duplicate_doc_count(docs_ds: "ray.data.Dataset") -> pa.Table:
+    """(n_rows, n_distinct_ids, n_dup_rows) — the J1 dedup surface."""
+    ids = docs_ds.select_columns(["doc_id"])
+    counts = ids.groupby("doc_id").count()
+    df = counts.to_pandas()
+    n_rows = int(df["count()"].sum())
+    n_ids = len(df)
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "n_rows": [n_rows],
+            "n_distinct_ids": [n_ids],
+            "n_dup_rows": [n_rows - n_ids],
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wide-operation demos over the driver's TPC-H-ish tables
+# ---------------------------------------------------------------------------
+
+
+def lineitem_pricing_summary(sf_dir: str) -> "pa.Table":
+    """TPC-H Q1-shaped rollup with exact-integer measures: partial
+    aggregation inside map_batches (one row per key per block), then a tiny
+    groupby — the shuffle moves per-block partials, not 600k rows."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qty = pc.cast(batch.column("l_quantity"), pa.int64())
+        t = pa.Table.from_arrays(
+            [batch.column("l_returnflag"), batch.column("l_linestatus"), qty],
+            names=["l_returnflag", "l_linestatus", "qty"],
+        ).to_pandas()
+        g = (
+            t.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+            .agg(sum_qty=("qty", "sum"), n_rows=("qty", "size"))
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    out = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("n_rows", alias_name="n_rows"),
+    )
+    return out.to_pandas()
+
+
+def orders_by_nation(sf_dir: str) -> "pa.Table":
+    """Orders per nation name — a two-hop broadcast join (orders ⨝ customer
+    ⨝ nation). Both dimension sides are `ray.put` once; the fact table
+    streams through a vectorized lookup. No shuffle of orders rows."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    cust_np = {
+        int(k): int(v)
+        for k, v in zip(
+            cust.column("c_custkey").to_pylist(), cust.column("c_nationkey").to_pylist()
+        )
+    }
+    nat_np = {
+        int(k): v
+        for k, v in zip(
+            nation.column("n_nationkey").to_pylist(), nation.column("n_name").to_pylist()
+        )
+    }
+    ref = ray.put((cust_np, nat_np))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        cmap, nmap = ray.get(ref)
+        ck = pd.Series(batch.column("o_custkey").to_numpy())
+        names = ck.map(cmap).map(nmap)
+        g = names.value_counts().rename_axis("n_name").reset_index(name="n_orders")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    out = partials.groupby("n_name").aggregate(Sum("n_orders", alias_name="n_orders"))
+    return out.to_pandas()
+
+
+def events_hourly(sf_dir: str) -> "pa.Table":
+    """Tumbling 1-hour window per event_type: count + exact min/max value
+    (no float accumulation → SQL-hash-exact). Partial windows per batch,
+    final combine in a small groupby."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.to_pandas()
+        t["hour"] = t["ts"].dt.floor("h")
+        g = t.groupby(["event_type", "hour"], as_index=False).agg(
+            n_events=("value", "size"),
+            min_value=("value", "min"),
+            max_value=("value", "max"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    out = partials.groupby(["event_type", "hour"]).aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Min("min_value", alias_name="min_value"),
+        Max("max_value", alias_name="max_value"),
+    )
+    return out.to_pandas()
+
+
+def lang_distribution(sf_dir: str) -> "pa.Table":
+    """documents lang → count (groupby over a pruned single column)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+    out = ds.groupby("lang").count()
+    df = out.to_pandas().rename(columns={"count()": "n_docs"})
+    return df

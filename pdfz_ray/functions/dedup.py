@@ -1,0 +1,403 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five flavors over the flat ``documents`` table (doc_id, text) and the
+``embeddings`` table (vec_id, embedding):
+
+- exact: content-hash → hash-partitioned groupby, keep min(doc_id);
+- n-gram Jaccard: exact pairwise word-3-gram Jaccard (broadcast small-side
+  at test scale; the scale path is the MinHash-LSH operator below);
+- MinHash+LSH: shingle → 64-perm minhash → band → bucket groupby →
+  candidate pairs → exact-Jaccard verification;
+- SimHash: 64-bit sign-of-weighted-sum signature, banded candidate
+  generation, Hamming-distance verification;
+- embedding cosine: normalized-matmul near-dup pairs (broadcast matrix at
+  test scale; LSH-bucketed variant in functions/similarity.py).
+
+Scale design: every shuffle here moves *small derived rows* (hashes,
+signatures, band buckets, candidate id pairs) — never the documents
+themselves. Broadcast sides are `ray.put` once. Deterministic seeds, so
+results are stable across runs and cluster sizes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+_MERSENNE = (1 << 61) - 1
+
+
+def content_hash_batch(batch: pa.Table) -> pa.Table:
+    """Add md5 content hash (exact-dedup key)."""
+    texts = batch.column("text").to_pylist()
+    h = [hashlib.md5((t or "").encode()).hexdigest() for t in texts]
+    return pa.Table.from_arrays(
+        [batch.column("doc_id"), pa.array(h, pa.string())],
+        names=["doc_id", "content_hash"],
+    )
+
+
+def exact_dedup_docs(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Exact dedup: one keeper (min doc_id) per distinct content.
+
+    The groupby shuffles only (doc_id, hash) pairs — 48 bytes/row — not
+    document payloads.
+    """
+    from ray.data.aggregate import Count, Min
+
+    hashed = ds.map_batches(content_hash_batch, batch_format="pyarrow")
+    return hashed.groupby("content_hash").aggregate(
+        Min("doc_id", alias_name="doc_id"),
+        Count(alias_name="n_copies"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling + exact n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def word_ngrams(text: str, n: int = 3) -> set:
+    toks = (text or "").split()
+    if len(toks) < n:
+        return set([" ".join(toks)]) if toks else set()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def _collect_shingles(ds: "ray.data.Dataset", n: int) -> dict[int, frozenset]:
+    """doc_id → shingle set for the whole (small) table, via distributed
+    shingling then driver collect. Scale path: keep as a Dataset and use
+    MinHash-LSH instead of pairwise."""
+
+    def shingle_batch(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                pa.array([sorted(word_ngrams(t, n)) for t in texts],
+                         pa.list_(pa.string())),
+            ],
+            names=["doc_id", "shingles"],
+        )
+
+    out = ds.map_batches(shingle_batch, batch_format="pyarrow")
+    return {r["doc_id"]: frozenset(r["shingles"]) for r in out.take_all()}
+
+
+def ngram_jaccard_pairs(
+    ds: "ray.data.Dataset", threshold: float = 0.5, n: int = 3
+) -> pa.Table:
+    """Exact word-n-gram Jaccard near-dup pairs (doc_id_a < doc_id_b).
+
+    Distributed map over docs vs a broadcast shingle index; O(n_docs²)
+    comparisons — the *exact* baseline the approximate operators are
+    validated against. Returns only id pairs (ints) so the DuckDB oracle
+    hash matches bit-for-bit.
+    """
+    index = _collect_shingles(ds, n)
+    index_ref = ray.put(index)
+
+    def pairs_batch(batch: pa.Table) -> pa.Table:
+        idx = ray.get(index_ref)
+        out_a, out_b = [], []
+        for a in batch.column("doc_id").to_pylist():
+            sa = idx[a]
+            for b, sb in idx.items():
+                if b <= a or not sa or not sb:
+                    continue
+                inter = len(sa & sb)
+                if inter == 0:
+                    continue
+                if inter / (len(sa) + len(sb) - inter) >= threshold:
+                    out_a.append(a)
+                    out_b.append(b)
+        return pa.Table.from_arrays(
+            [pa.array(out_a, pa.int64()), pa.array(out_b, pa.int64())],
+            names=["doc_id_a", "doc_id_b"],
+        )
+
+    res = ds.select_columns(["doc_id"]).map_batches(
+        pairs_batch, batch_format="pyarrow"
+    )
+    tbl = pa.Table.from_pylist(res.take_all(), schema=pa.schema(
+        [("doc_id_a", pa.int64()), ("doc_id_b", pa.int64())]))
+    return tbl
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def _hash_strings(values: list[str]) -> np.ndarray:
+    """Deterministic 64-bit hashes (pandas siphash with fixed key)."""
+    if not values:
+        return np.zeros(0, np.uint64)
+    return pd.util.hash_array(np.asarray(values, dtype=object))
+
+
+class MinHasher:
+    """Stateful minhash signer: permutation coefficients built once per
+    actor (the 'compile patterns in __init__' pattern)."""
+
+    def __init__(self, num_perm: int = 64, ngram: int = 3, seed: int = 42):
+        rng = np.random.default_rng(seed)
+        # odd multipliers; arithmetic is mod 2^64 (numpy wrap), a standard
+        # multiply-shift universal-hash family — fully vectorized
+        self.a = (rng.integers(1, 1 << 62, size=num_perm, dtype=np.uint64) << 1) + 1
+        self.b = rng.integers(0, 1 << 63, size=num_perm, dtype=np.uint64)
+        self.num_perm = num_perm
+        self.ngram = ngram
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = sorted(word_ngrams(text, self.ngram))
+        if not sh:
+            return np.full(self.num_perm, np.iinfo(np.uint64).max, np.uint64)
+        x = _hash_strings(sh)
+        return (self.a[:, None] * x[None, :] + self.b[:, None]).min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        sigs = [self.signature(t) for t in batch.column("text").to_pylist()]
+        mat = np.stack(sigs) if sigs else np.zeros((0, self.num_perm), np.uint64)
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                pa.FixedSizeListArray.from_arrays(
+                    pa.array(mat.ravel().astype(np.uint64)), self.num_perm
+                ),
+            ],
+            names=["doc_id", "minhash"],
+        )
+
+
+def minhash_lsh_pairs(
+    ds: "ray.data.Dataset",
+    threshold: float = 0.5,
+    num_perm: int = 64,
+    bands: int = 16,
+    ngram: int = 3,
+) -> pa.Table:
+    """MinHash-LSH candidate generation + exact-Jaccard verification.
+
+    Pipeline shape (the 100 TB path):
+      sign (actor pool) → explode to (band, band_hash, doc_id) rows →
+      groupby(band, band_hash) → emit candidate pairs per bucket →
+      dedup pairs → verify exact Jaccard.
+    Only signatures and id pairs are shuffled.
+    """
+    rows_per_band = num_perm // bands
+    signed = ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs={"num_perm": num_perm, "ngram": ngram},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+    def explode_bands(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id").to_pylist(), np.int64)
+        sig = np.stack(
+            [np.asarray(s, np.uint64) for s in batch.column("minhash").to_pylist()]
+        ) if batch.num_rows else np.zeros((0, num_perm), np.uint64)
+        out_id, out_band, out_bh = [], [], []
+        P = np.uint64(0x9E3779B97F4A7C15)
+        for bi in range(bands):
+            seg = sig[:, bi * rows_per_band : (bi + 1) * rows_per_band]
+            bh = seg[:, 0].copy()
+            for c in range(1, rows_per_band):  # polynomial combine mod 2^64
+                bh = bh * P + seg[:, c]
+            out_id.append(ids)
+            out_band.append(np.full(len(ids), bi, np.int32))
+            out_bh.append(bh.view(np.int64))
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.concatenate(out_id) if out_id else []),
+                pa.array(np.concatenate(out_band) if out_band else []),
+                pa.array(np.concatenate(out_bh) if out_bh else []),
+            ],
+            names=["doc_id", "band", "band_hash"],
+        )
+
+    exploded = signed.map_batches(explode_bands, batch_format="pyarrow")
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = sorted(set(group.column("doc_id").to_pylist()))
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
+        return pa.Table.from_arrays(
+            [pa.array(a, pa.int64()), pa.array(b, pa.int64())],
+            names=["doc_id_a", "doc_id_b"],
+        )
+
+    cand = exploded.groupby(["band", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pyarrow"
+    )
+    cand_tbl = pa.Table.from_pylist(
+        cand.take_all(),
+        schema=pa.schema([("doc_id_a", pa.int64()), ("doc_id_b", pa.int64())]),
+    )
+    if cand_tbl.num_rows == 0:
+        return cand_tbl
+    uniq = pd.DataFrame(cand_tbl.to_pandas()).drop_duplicates()
+
+    # verification against exact shingle sets (broadcast; scale path =
+    # hash-partitioned join of pair ids against the shingle table)
+    index_ref = ray.put(_collect_shingles(ds, ngram))
+    idx = ray.get(index_ref)
+    keep_a, keep_b = [], []
+    for a, b in zip(uniq["doc_id_a"], uniq["doc_id_b"]):
+        sa, sb = idx[a], idx[b]
+        if not sa or not sb:
+            continue
+        inter = len(sa & sb)
+        if inter and inter / (len(sa) + len(sb) - inter) >= threshold:
+            keep_a.append(int(a))
+            keep_b.append(int(b))
+    out = pa.Table.from_arrays(
+        [pa.array(keep_a, pa.int64()), pa.array(keep_b, pa.int64())],
+        names=["doc_id_a", "doc_id_b"],
+    )
+    return out.take(pa.array(np.lexsort((out.column("doc_id_b").to_numpy(),
+                                          out.column("doc_id_a").to_numpy()))))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+class SimHasher:
+    """64-bit SimHash over word unigrams (sign of hash-bit-weighted sums)."""
+
+    BITS = 64
+
+    def __init__(self):
+        pass
+
+    def simhash(self, text: str) -> int:
+        toks = (text or "").split()
+        if not toks:
+            return 0
+        h = _hash_strings(toks)
+        bits = ((h[:, None] >> np.arange(self.BITS, dtype=np.uint64)[None, :]) & 1)
+        acc = np.where(bits == 1, 1, -1).sum(axis=0)
+        return int(
+            np.bitwise_or.reduce(
+                (acc > 0).astype(np.uint64) << np.arange(self.BITS, dtype=np.uint64)
+            )
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        hs = [self.simhash(t) for t in batch.column("text").to_pylist()]
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()),
+             pa.array(np.array(hs, np.uint64).view(np.int64))],
+            names=["doc_id", "simhash"],
+        )
+
+
+def simhash_pairs(ds: "ray.data.Dataset", max_hamming: int = 3) -> pa.Table:
+    """Near-dup pairs by SimHash banding (4×16-bit chunks → bucket groupby →
+    Hamming verification). A pair within Hamming distance 3 shares at least
+    one exact 16-bit chunk (pigeonhole), so banding has full recall."""
+    signed = ds.map_batches(
+        SimHasher, batch_format="pyarrow", concurrency=(1, 4)
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id").to_pylist(), np.int64)
+        hs = batch.column("simhash").to_numpy().view(np.uint64)
+        out = []
+        for c in range(4):
+            chunk = ((hs >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(np.int64)
+            out.append(
+                pa.Table.from_arrays(
+                    [pa.array(ids), pa.array(np.full(len(ids), c, np.int32)),
+                     pa.array(chunk), pa.array(hs.view(np.int64))],
+                    names=["doc_id", "chunk", "chunk_val", "simhash"],
+                )
+            )
+        return pa.concat_tables(out)
+
+    exploded = signed.map_batches(explode, batch_format="pyarrow")
+
+    def bucket(group: pa.Table) -> pa.Table:
+        rows = sorted(
+            {(i, s) for i, s in zip(group.column("doc_id").to_pylist(),
+                                    group.column("simhash").to_pylist())}
+        )
+        a, b = [], []
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                x = np.uint64(rows[i][1]) ^ np.uint64(rows[j][1])
+                if bin(int(x)).count("1") <= max_hamming:
+                    a.append(rows[i][0])
+                    b.append(rows[j][0])
+        return pa.Table.from_arrays(
+            [pa.array(a, pa.int64()), pa.array(b, pa.int64())],
+            names=["doc_id_a", "doc_id_b"],
+        )
+
+    pairs = exploded.groupby(["chunk", "chunk_val"]).map_groups(
+        bucket, batch_format="pyarrow"
+    )
+    df = pa.Table.from_pylist(
+        pairs.take_all(),
+        schema=pa.schema([("doc_id_a", pa.int64()), ("doc_id_b", pa.int64())]),
+    ).to_pandas().drop_duplicates().sort_values(["doc_id_a", "doc_id_b"])
+    return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_neardup_pairs(
+    ds: "ray.data.Dataset", threshold: float = 0.90
+) -> pa.Table:
+    """Pairs (vec_id_a < vec_id_b) with cosine similarity ≥ threshold.
+
+    Batch × broadcast-matrix matmul in float64 (matches DuckDB's double
+    arithmetic). Broadcast is fine for test scale; at 10^9+ vectors use the
+    LSH-bucketed variant (functions/similarity.knn_lsh machinery).
+    """
+    all_rows = ds.select_columns(["vec_id", "embedding"]).take_all()
+    ids = np.array([r["vec_id"] for r in all_rows], np.int64)
+    mat = np.stack([np.asarray(r["embedding"], np.float64) for r in all_rows])
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    matn = mat / np.maximum(norms, 1e-30)
+    ref = ray.put((ids, matn))
+
+    def pairs_batch(batch: pa.Table) -> pa.Table:
+        bids = np.asarray(batch.column("vec_id").to_pylist(), np.int64)
+        bmat = np.stack(
+            [np.asarray(v, np.float64) for v in batch.column("embedding").to_pylist()]
+        ) if batch.num_rows else np.zeros((0, 1))
+        bnorm = bmat / np.maximum(np.linalg.norm(bmat, axis=1, keepdims=True), 1e-30)
+        aids, amat = ray.get(ref)
+        sims = bnorm @ amat.T
+        ii, jj = np.nonzero(sims >= threshold)
+        mask = bids[ii] < aids[jj]
+        return pa.Table.from_arrays(
+            [pa.array(bids[ii][mask]), pa.array(aids[jj][mask])],
+            names=["vec_id_a", "vec_id_b"],
+        )
+
+    res = ds.map_batches(pairs_batch, batch_format="pyarrow")
+    df = pa.Table.from_pylist(
+        res.take_all(),
+        schema=pa.schema([("vec_id_a", pa.int64()), ("vec_id_b", pa.int64())]),
+    ).to_pandas().sort_values(["vec_id_a", "vec_id_b"])
+    return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)

@@ -1,0 +1,201 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- ``knn_brute``: exact top-k cosine — per-batch float64 matmul against a
+  broadcast query matrix, local top-k per batch, global top-k merge. The
+  baseline every approximate variant is measured against.
+- ``knn_lsh``: random-hyperplane LSH bucketing — the scale path. Vectors
+  are hashed into 2^planes buckets; a query probes its own bucket plus all
+  1-bit-flip neighbors (multiprobe), so only a fraction of the corpus is
+  scored. Recall vs brute force is asserted in tests.
+
+Scale notes: the query matrix is `ray.put` once (a few KB–MB), candidates
+shuffle as (query_id, vec_id, sim) triples, never embeddings; bucket
+routing is a narrow (bucket, vec_id) shuffle. For 10^9+ vectors swap the
+in-task partial top-k for a per-bucket groupby top-k (same code path,
+bigger `k_local`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+
+def _to_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
+    lst = batch.column(col)
+    flat = lst.combine_chunks().flatten().to_numpy(zero_copy_only=False)
+    n = batch.num_rows
+    return flat.reshape(n, -1).astype(np.float64) if n else np.zeros((0, 1))
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+
+
+def knn_brute(
+    ds: "ray.data.Dataset",
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 10,
+    exclude_self: bool = True,
+) -> pa.Table:
+    """Exact top-k cosine neighbors per query → (query_id, vec_id, rank).
+
+    Rank ties broken by vec_id ascending (deterministic, SQL-matchable).
+    """
+    qn = _normalize(np.asarray(queries, np.float64))
+    qref = ray.put((np.asarray(query_ids, np.int64), qn))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qids, qmat = ray.get(qref)
+        vids = np.asarray(batch.column("vec_id").to_pylist(), np.int64)
+        m = _normalize(_to_matrix(batch))
+        sims = qmat @ m.T  # (Q, B)
+        out = []
+        kk = min(k + (1 if exclude_self else 0), sims.shape[1])
+        for qi in range(len(qids)):
+            s = sims[qi]
+            top = np.argpartition(-s, kk - 1)[:kk] if kk < len(s) else np.arange(len(s))
+            out.append(
+                pa.Table.from_arrays(
+                    [
+                        pa.array(np.full(len(top), qids[qi], np.int64)),
+                        pa.array(vids[top]),
+                        pa.array(s[top]),
+                    ],
+                    names=["query_id", "vec_id", "sim"],
+                )
+            )
+        return pa.concat_tables(out)
+
+    cands = ds.map_batches(local_topk, batch_format="pyarrow")
+    df = pa.Table.from_pylist(
+        cands.take_all(),
+        schema=pa.schema(
+            [("query_id", pa.int64()), ("vec_id", pa.int64()), ("sim", pa.float64())]
+        ),
+    ).to_pandas()
+    if exclude_self:
+        df = df[df["query_id"] != df["vec_id"]]
+    df = df.sort_values(
+        ["query_id", "sim", "vec_id"], ascending=[True, False, True]
+    )
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    df = df[df["rank"] <= k][["query_id", "vec_id", "rank"]]
+    return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
+
+
+class HyperplaneHasher:
+    """Random-hyperplane LSH: sign pattern of `planes` dot products."""
+
+    def __init__(self, dim: int, planes: int = 8, seed: int = 42):
+        rng = np.random.default_rng(seed)
+        self.h = rng.standard_normal((planes, dim))
+        self.planes = planes
+
+    def bucket(self, m: np.ndarray) -> np.ndarray:
+        bits = (m @ self.h.T) > 0  # (N, planes)
+        return (bits.astype(np.int64) * (1 << np.arange(self.planes))).sum(axis=1)
+
+
+def knn_lsh(
+    ds: "ray.data.Dataset",
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 10,
+    planes: int = 6,
+    tables: int = 8,
+    dim: int | None = None,
+    exclude_self: bool = True,
+) -> pa.Table:
+    """Approximate top-k via multi-table hyperplane LSH + 1-bit multiprobe.
+
+    ``tables`` independent hash tables drive recall (1-(1-p)^L); each table
+    uses ``planes`` hyperplanes, so a vector is scored only when it shares a
+    bucket with the query in at least one table.
+    """
+    q = np.asarray(queries, np.float64)
+    dim = dim or q.shape[1]
+    hashers = [HyperplaneHasher(dim, planes, seed=42 + t) for t in range(tables)]
+    qn = _normalize(q)
+    probe: dict[tuple[int, int], list[int]] = {}
+    for t, hasher in enumerate(hashers):
+        qb = hasher.bucket(qn)
+        for qi, b in enumerate(qb):
+            probe.setdefault((t, int(b)), []).append(qi)
+            for p in range(planes):  # multiprobe: flip each bit once
+                probe.setdefault((t, int(b) ^ (1 << p)), []).append(qi)
+    planes_mats = np.stack([h.h for h in hashers])  # (T, planes, dim)
+    qref = ray.put((np.asarray(query_ids, np.int64), qn, probe, planes_mats))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qids, qmat, prb, pmats = ray.get(qref)
+        vids = np.asarray(batch.column("vec_id").to_pylist(), np.int64)
+        m = _normalize(_to_matrix(batch))
+        out = []
+        # candidate query set per vector row = union over tables
+        cand: dict[int, set[int]] = {}
+        for t in range(pmats.shape[0]):
+            bits = (m @ pmats[t].T) > 0
+            buckets = (
+                bits.astype(np.int64) * (1 << np.arange(pmats.shape[1]))
+            ).sum(axis=1)
+            for b in np.unique(buckets):
+                qis = prb.get((t, int(b)))
+                if not qis:
+                    continue
+                rows = np.nonzero(buckets == b)[0]
+                for qi in qis:
+                    cand.setdefault(qi, set()).update(rows.tolist())
+        for qi, rowset in cand.items():
+            rows = np.fromiter(rowset, np.int64, len(rowset))
+            s = qmat[qi] @ m[rows].T
+            kk = min(k + 1, len(s))
+            top = np.argpartition(-s, kk - 1)[:kk] if kk < len(s) else np.arange(len(s))
+            out.append(
+                pa.Table.from_arrays(
+                    [
+                        pa.array(np.full(len(top), qids[qi], np.int64)),
+                        pa.array(vids[rows[top]]),
+                        pa.array(s[top]),
+                    ],
+                    names=["query_id", "vec_id", "sim"],
+                )
+            )
+        if not out:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.int64()),
+                 pa.array([], pa.float64())],
+                names=["query_id", "vec_id", "sim"],
+            )
+        return pa.concat_tables(out)
+
+    cands = ds.map_batches(local_topk, batch_format="pyarrow")
+    df = pa.Table.from_pylist(
+        cands.take_all(),
+        schema=pa.schema(
+            [("query_id", pa.int64()), ("vec_id", pa.int64()), ("sim", pa.float64())]
+        ),
+    ).to_pandas().drop_duplicates(["query_id", "vec_id"])
+    if exclude_self:
+        df = df[df["query_id"] != df["vec_id"]]
+    df = df.sort_values(["query_id", "sim", "vec_id"], ascending=[True, False, True])
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    df = df[df["rank"] <= k][["query_id", "vec_id", "rank"]]
+    return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
+
+
+def load_query_matrix(sf_dir: str, n_queries: int = 5):
+    """First n vec_ids (deterministic) as the query set."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    df = t.to_pandas().sort_values("vec_id").head(n_queries)
+    ids = df["vec_id"].to_numpy(np.int64)
+    mat = np.stack([np.asarray(v, np.float64) for v in df["embedding"]])
+    return ids, mat

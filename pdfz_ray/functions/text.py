@@ -1,0 +1,140 @@
+"""Text-analysis operators over the flat ``documents`` table.
+
+All hot paths are vectorized (pyarrow.compute / pandas string kernels)
+inside ``map_batches``; regexes are compiled once per actor where a class
+UDF is used. Each operator has a ``queries()`` entry; the SQL-checkable
+ones keep integer/string outputs so DuckDB value-hashes match exactly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# fixed stopword list shared with the SQL oracles (keep in sync!)
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "on", "for", "data")
+PUNCT_RE = r"[.,;:!?]"
+TOKEN_RE = r"\S+"
+
+
+def text_stats_batch(batch: pa.Table) -> pa.Table:
+    """Integer quality counters per doc (SQL-exact; no floats)."""
+    text = batch.column("text")
+    n_chars = pc.utf8_length(text)
+    n_tokens = pc.count_substring_regex(text, TOKEN_RE)
+    n_punct = pc.count_substring_regex(text, PUNCT_RE)
+    low = pc.utf8_lower(text)
+    toks = pd.Series(low.to_pandas()).str.split()
+    stop = set(STOPWORDS)
+    n_stop = toks.map(lambda ws: sum(1 for w in ws if w in stop) if ws is not None else 0)
+    return pa.Table.from_arrays(
+        [
+            batch.column("doc_id"),
+            pc.cast(n_chars, pa.int64()),
+            pc.cast(n_tokens, pa.int64()),
+            pa.array(n_stop.to_numpy(np.int64)),
+            pc.cast(n_punct, pa.int64()),
+        ],
+        names=["doc_id", "n_chars", "n_tokens", "n_stopwords", "n_punct"],
+    )
+
+
+def quality_filter_batch(
+    batch: pa.Table, min_tokens: int = 20, max_stop_ratio_pct: int = 40
+) -> pa.Table:
+    """Quality gate with integer thresholds (deterministic, SQL-exact):
+    keep docs with >= min_tokens tokens and stopword percentage (integer
+    division, *100 // n_tokens) below the cap."""
+    stats = text_stats_batch(batch)
+    n_tok = stats.column("n_tokens").to_numpy()
+    n_stop = stats.column("n_stopwords").to_numpy()
+    pct = np.where(n_tok > 0, n_stop * 100 // np.maximum(n_tok, 1), 100)
+    keep = (n_tok >= min_tokens) & (pct < max_stop_ratio_pct)
+    return stats.filter(pa.array(keep))
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """Document fingerprint: md5 of whitespace-collapsed lower-cased text
+    (SQL-exact via DuckDB md5()), plus a 64-bit rolling-hash content key."""
+    low = pc.utf8_lower(batch.column("text"))
+    norm = pc.replace_substring_regex(low, pattern=r"\s+", replacement=" ")
+    norm_py = norm.to_pylist()
+    md5s = [hashlib.md5((t or "").encode()).hexdigest() for t in norm_py]
+    rolling = [_rolling64(t or "") for t in norm_py]
+    return pa.Table.from_arrays(
+        [
+            batch.column("doc_id"),
+            pa.array(md5s, pa.string()),
+            pa.array(rolling, pa.int64()),
+        ],
+        names=["doc_id", "fingerprint", "rolling64"],
+    )
+
+
+def _rolling64(t: str, base: int = 1_000_003, mod: int = (1 << 61) - 1) -> int:
+    h = 0
+    for ch in t.encode():
+        h = (h * base + ch) % mod
+    return h
+
+
+class LangIdStage:
+    """Heuristic language ID: stopword-profile scoring + char-class evidence.
+
+    Compiled profiles live in the actor (``__init__`` once per actor). The
+    score is deterministic (tie → alphabetical language), so the output is
+    stable across runs; the check is rows-only (a heuristic has no SQL
+    twin).
+    """
+
+    PROFILES = {
+        "en": {"the", "and", "of", "to", "a", "in", "is", "that", "for", "it"},
+        "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit"},
+        "fr": {"le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"},
+        "es": {"el", "la", "los", "y", "es", "un", "una", "de", "que", "por"},
+    }
+
+    def __init__(self):
+        self._tok = re.compile(r"[a-zA-ZÀ-ÿ]+")
+        self._cjk = re.compile(r"[一-鿿]")
+
+    def _score(self, text: str) -> str:
+        if text and self._cjk.search(text):
+            return "zh"
+        words = [w.lower() for w in self._tok.findall(text or "")]
+        if not words:
+            return "unknown"
+        best = ("unknown", 0)
+        for lang in sorted(self.PROFILES):
+            hits = sum(1 for w in words if w in self.PROFILES[lang])
+            if hits > best[1]:
+                best = (lang, hits)
+        return best[0] if best[1] > 0 else "unknown"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds = [self._score(t) for t in batch.column("text").to_pylist()]
+        return pa.Table.from_arrays(
+            [batch.column("doc_id"), pa.array(preds, pa.string())],
+            names=["doc_id", "lang_pred"],
+        )
+
+
+def token_count_batch(batch: pa.Table) -> pa.Table:
+    """Whitespace token count + a BPE-ish subword count (regex pieces:
+    word chunks of <=4 chars, digits, punctuation singles)."""
+    text = batch.column("text")
+    ws = pc.count_substring_regex(text, TOKEN_RE)
+    bpe = pc.count_substring_regex(text, r"[A-Za-z]{1,4}|[0-9]+|[^A-Za-z0-9\s]")
+    return pa.Table.from_arrays(
+        [
+            batch.column("doc_id"),
+            pc.cast(ws, pa.int64()),
+            pc.cast(bpe, pa.int64()),
+        ],
+        names=["doc_id", "n_tokens", "n_subwords"],
+    )

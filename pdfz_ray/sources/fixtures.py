@@ -1,0 +1,62 @@
+"""On-disk deterministic fixtures for the interleaved extraction tables.
+
+The driver's testdata has no interleaved-span table, so the extraction
+queries synthesize one (seed=42, content a pure function of (sf, row)) and
+write it under ``/tmp/pdfz_ray_fixtures/{sf}/`` the first time it is
+needed. The DuckDB oracle SQL reads the *same parquet file*, so Ray and
+SQL compute over identical input. A golden flat output (from the pure
+oracle) is also written for non-SQL-expressible comparisons.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..corpus import make_documents, make_jobs, make_media
+from ..oracle import extract_corpus, flatten_results
+from ..schema import FLAT_OUTPUT_SCHEMA
+
+FIXTURE_ROOT = "/tmp/pdfz_ray_fixtures"
+
+# docs per scale factor (duplicate family adds ~9% rows on top)
+SF_DOCS = {"sf0.001": 200, "sf0.01": 1000, "sf0.1": 4000}
+DEFAULT_DOCS = 1000
+MONSTER_SPANS = 800
+
+
+def sf_name(sf_dir: str) -> str:
+    return os.path.basename(os.path.normpath(sf_dir)) or "sf0.01"
+
+
+def fixture_dir(sf_dir: str) -> str:
+    return os.path.join(FIXTURE_ROOT, sf_name(sf_dir))
+
+
+def ensure_fixtures(sf_dir: str) -> dict[str, str]:
+    """Idempotently materialize the fixture parquet set for this sf."""
+    d = fixture_dir(sf_dir)
+    paths = {
+        "documents_spans": os.path.join(d, "documents_spans.parquet"),
+        "jobs": os.path.join(d, "jobs.parquet"),
+        "media": os.path.join(d, "media.parquet"),
+        "golden_flat": os.path.join(d, "golden_flat.parquet"),
+    }
+    marker = os.path.join(d, "_DONE")
+    if os.path.exists(marker):
+        return paths
+    os.makedirs(d, exist_ok=True)
+    n = SF_DOCS.get(sf_name(sf_dir), DEFAULT_DOCS)
+    docs = make_documents(n, monster_spans=MONSTER_SPANS)
+    pq.write_table(docs, paths["documents_spans"])
+    pq.write_table(make_jobs(n), paths["jobs"])
+    pq.write_table(make_media(max(n // 2, 50)), paths["media"])
+    golden = flatten_results(extract_corpus(docs.to_pylist()))
+    pq.write_table(
+        pa.Table.from_pylist(golden, schema=FLAT_OUTPUT_SCHEMA), paths["golden_flat"]
+    )
+    with open(marker, "w") as f:
+        f.write("ok\n")
+    return paths

@@ -33,7 +33,8 @@ from ..jobs import normalize_model
 
 
 def _digest(payload: str, salt: str) -> str:
-    return hashlib.sha1(f"{salt}|{payload}".encode()).hexdigest()[:12]
+    # md5 so the DuckDB oracle can reproduce it: md5(salt || '|' || payload)
+    return hashlib.md5(f"{salt}|{payload}".encode()).hexdigest()[:12]
 
 
 class TesseractLikeEngine:

@@ -1,0 +1,138 @@
+"""Training-data operator tests: dedup family, similarity, text analysis."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data
+
+    return ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+
+
+@pytest.fixture(scope="module")
+def emb_ds(ray_session):
+    import ray.data
+
+    return ray.data.read_parquet(f"{SF}/embeddings.parquet")
+
+
+def test_exact_dedup(docs_ds):
+    from pdfz_ray.functions.dedup import exact_dedup_docs
+
+    out = exact_dedup_docs(docs_ds).to_pandas()
+    assert set(out.columns) == {"content_hash", "doc_id", "n_copies"}
+    assert (out["n_copies"] >= 1).all()
+    assert out["doc_id"].is_unique
+
+
+def test_minhash_lsh_vs_exact(docs_ds):
+    """LSH-verified pairs are a subset of exact-Jaccard pairs with high
+    recall (verification makes precision exact; banding gives recall)."""
+    from pdfz_ray.functions.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    exact = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in ngram_jaccard_pairs(docs_ds, threshold=0.2).to_pylist()
+    }
+    lsh = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in minhash_lsh_pairs(docs_ds, threshold=0.2).to_pylist()
+    }
+    assert lsh <= exact  # exact-verification ⇒ no false positives
+    if exact:
+        assert len(lsh) / len(exact) >= 0.8  # banding recall
+
+
+def test_simhash_pairs_are_near(docs_ds):
+    from pdfz_ray.functions.dedup import SimHasher, simhash_pairs
+
+    pairs = simhash_pairs(docs_ds, max_hamming=3).to_pylist()
+    texts = {r["doc_id"]: r["text"] for r in docs_ds.take_all()}
+    h = SimHasher()
+    for r in pairs[:10]:
+        d = bin(h.simhash(texts[r["doc_id_a"]]) ^ h.simhash(texts[r["doc_id_b"]])).count("1")
+        assert d <= 3
+
+
+def test_embedding_neardup_symmetric_threshold(emb_ds):
+    from pdfz_ray.functions.dedup import embedding_neardup_pairs
+
+    out = embedding_neardup_pairs(emb_ds, threshold=0.45).to_pylist()
+    rows = {r["vec_id"]: np.asarray(r["embedding"], np.float64) for r in emb_ds.take_all()}
+    for r in out:
+        a, b = rows[r["vec_id_a"]], rows[r["vec_id_b"]]
+        cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+        assert cos >= 0.45
+        assert r["vec_id_a"] < r["vec_id_b"]
+
+
+def test_knn_brute_is_exact(emb_ds):
+    from pdfz_ray.functions.similarity import knn_brute, load_query_matrix
+
+    ids, mat = load_query_matrix(SF, n_queries=3)
+    out = knn_brute(emb_ds, mat, ids, k=5).to_pandas()
+    assert set(out.columns) == {"query_id", "vec_id", "rank"}
+    # reference: dense numpy top-k
+    rows = emb_ds.take_all()
+    vids = np.array([r["vec_id"] for r in rows])
+    m = np.stack([np.asarray(r["embedding"], np.float64) for r in rows])
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    qn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = qn @ mn.T
+    for qi, qid in enumerate(ids):
+        s = sims[qi]
+        order = sorted(
+            [(vid, sv) for vid, sv in zip(vids, s) if vid != qid],
+            key=lambda t: (-t[1], t[0]),
+        )[:5]
+        want = [int(v) for v, _ in order]
+        got = out[out.query_id == qid].sort_values("rank")["vec_id"].tolist()
+        assert got == want
+
+
+def test_knn_lsh_recall(emb_ds):
+    from pdfz_ray.functions.similarity import knn_brute, knn_lsh, load_query_matrix
+
+    ids, mat = load_query_matrix(SF, n_queries=5)
+    brute = knn_brute(emb_ds, mat, ids, k=10).to_pandas()
+    approx = knn_lsh(emb_ds, mat, ids, k=10, planes=6, tables=8).to_pandas()
+    b = {(r.query_id, r.vec_id) for r in brute.itertuples()}
+    a = {(r.query_id, r.vec_id) for r in approx.itertuples()}
+    assert len(a & b) / len(b) >= 0.5  # multiprobe recall on tiny corpus
+
+
+def test_text_stats_and_quality(docs_ds):
+    from pdfz_ray.functions.text import quality_filter_batch, text_stats_batch
+
+    stats = docs_ds.map_batches(text_stats_batch, batch_format="pyarrow").to_pandas()
+    assert (stats["n_tokens"] > 0).all()
+    assert (stats["n_chars"] >= stats["n_tokens"]).all()
+    q = docs_ds.map_batches(quality_filter_batch, batch_format="pyarrow").to_pandas()
+    assert len(q) <= len(stats)
+    assert (q["n_tokens"] >= 20).all()
+
+
+def test_lang_id_deterministic(docs_ds):
+    from pdfz_ray.functions.text import LangIdStage
+
+    a = docs_ds.map_batches(
+        LangIdStage, batch_format="pyarrow", concurrency=2
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = docs_ds.map_batches(
+        LangIdStage, batch_format="pyarrow", concurrency=2
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    assert set(a["lang_pred"]) <= {"en", "de", "fr", "es", "zh", "unknown"}
+
+
+def test_fingerprint_stability(docs_ds):
+    from pdfz_ray.functions.text import fingerprint_batch
+
+    out = docs_ds.map_batches(fingerprint_batch, batch_format="pyarrow").to_pandas()
+    assert out["fingerprint"].str.len().eq(32).all()
+    assert out["rolling64"].dtype == np.int64

@@ -1,0 +1,108 @@
+"""Driver-contract test: every queries() entry runs and matches its
+oracle_sql() twin through DuckDB at sf0.001 (fast); entry() smoke."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def entry_mod(ray_session):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as e
+
+    return e
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return c
+
+
+def _cmp(got: pd.DataFrame, want: pd.DataFrame) -> None:
+    assert sorted(got.columns) == sorted(want.columns)
+    cols = sorted(got.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True).astype(str)
+    w = want[cols].sort_values(cols).reset_index(drop=True).astype(str)
+    pd.testing.assert_frame_equal(g, w)
+
+
+def test_entry_smoke(entry_mod):
+    res = entry_mod.entry()
+    n = res.count() if hasattr(res, "count") else len(res)
+    assert n > 0
+    schema_names = (
+        res.schema().names if hasattr(res, "schema") else list(res.columns)
+    )
+    assert schema_names == [
+        "doc_id", "seq", "page_num", "kind", "text", "media_ref"
+    ]
+
+
+def test_oracle_keys_subset_of_queries(entry_mod):
+    qs, sqls = entry_mod.queries(), entry_mod.oracle_sql()
+    assert set(sqls) <= set(qs)
+    assert len(qs) >= 20
+
+
+# NOTE: the sf0.01-path SQL constants are swapped for sf0.001 here; the
+# fixture layout is identical per sf directory.
+def _sql_for(entry_mod, name: str) -> str:
+    return entry_mod.oracle_sql()[name].replace("sf0.01", "sf0.001")
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "extract_flat",
+        "extract_windowed",
+        "ocr_spans",
+        "status_rollup",
+        "top_largest_docs",
+        "page_stats",
+        "duplicate_doc_count",
+        "media_decode",
+        "text_stats",
+        "quality_filter",
+        "token_count",
+        "fingerprint",
+        "lang_distribution",
+        "exact_dedup",
+        "ngram_jaccard",
+        "embedding_neardup",
+        "knn_brute",
+        "lineitem_pricing",
+        "orders_by_nation",
+        "events_hourly",
+    ],
+)
+def test_query_matches_oracle(entry_mod, con, name):
+    from pdfz_ray.sources.fixtures import ensure_fixtures
+
+    ensure_fixtures(SF)
+    got = entry_mod.queries()[name](SF)
+    if hasattr(got, "to_pandas"):
+        got = got.to_pandas()
+    want = con.execute(_sql_for(entry_mod, name)).df()
+    _cmp(got, want)
+
+
+@pytest.mark.parametrize("name", ["rolling_fingerprint", "lang_id", "minhash_lsh", "simhash", "knn_lsh"])
+def test_rows_only_queries_run(entry_mod, name):
+    got = entry_mod.queries()[name](SF)
+    if hasattr(got, "to_pandas"):
+        got = got.to_pandas()
+    assert len(got) >= 0
