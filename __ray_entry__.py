@@ -131,6 +131,14 @@ def _q_duplicate_doc_count(sf_dir: str):
     return duplicate_doc_count(ds)
 
 
+def _q_doc_progress(sf_dir: str):
+    """G2 quirk surface: page_num-based percent (can exceed 100)."""
+    from pdfz_ray.functions.progress import doc_progress_batch
+
+    ds, _ = _fixture_docs(sf_dir)
+    return ds.map_batches(doc_progress_batch, batch_format="pyarrow")
+
+
 def _q_media_decode(sf_dir: str):
     import ray.data
 
@@ -286,6 +294,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_largest_docs": _q_top_largest_docs,
         "page_stats": _q_page_stats,
         "duplicate_doc_count": _q_duplicate_doc_count,
+        "doc_progress": _q_doc_progress,
         "media_decode": _q_media_decode,
         # text analysis (driver documents table)
         "text_stats": _q_text_stats,
@@ -436,6 +445,27 @@ FROM media_ok
                    count(DISTINCT doc_id) AS n_distinct_ids,
                    count(*) - count(DISTINCT doc_id) AS n_dup_rows
             FROM {_DOCS_SRC}
+        """,
+        "doc_progress": f"""
+            WITH docs AS (
+              SELECT row_number() OVER () AS rid, doc_id, spans FROM {_DOCS_SRC}
+            ),
+            flat AS (
+              SELECT rid, doc_id, unnest(spans, recursive := true) FROM docs
+            ),
+            pg AS (SELECT DISTINCT rid, doc_id, "offset" AS page_num FROM flat),
+            agg AS (
+              SELECT rid, doc_id, max(page_num) AS lastp, count(*) AS total
+              FROM pg GROUP BY rid, doc_id
+            )
+            SELECT doc_id,
+                   CAST(CASE WHEN doc_id LIKE '%-corrupt' THEN 0
+                        ELSE lastp * 100 // total END AS BIGINT) AS final_progress,
+                   CAST(CASE WHEN doc_id LIKE '%-corrupt' THEN 0
+                        ELSE total END AS BIGINT) AS pages_done,
+                   CAST(CASE WHEN doc_id LIKE '%-corrupt' THEN 0
+                        ELSE total END AS BIGINT) AS pages_total
+            FROM agg
         """,
         "media_decode": f"""
             WITH m AS (SELECT *, CASE codec

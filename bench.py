@@ -1,0 +1,229 @@
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "docs_per_sec": ..., "pages_per_sec": ...}
+
+Env:
+  GRAFT_SF_DIR     input sf dir (default /root/testdata/sf0.1)
+  RAY_GRAFT_CPUS   num_cpus for ray.init (default 32)
+  BENCH_DOCS       synthetic interleaved corpus size (default 20000)
+
+--scaling: runs the bench twice in fresh processes (8 and 32 CPUs) on the
+same input and reports both throughputs + scaling efficiency (the sandbox
+substitute for the N vs 4N node criterion — see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+BENCH_ROOT = "/tmp/pdfz_ray_bench"
+
+
+def ensure_bench_corpus(
+    n_docs: int, replicas: int, seed: int = 42
+) -> list[str]:
+    """Deterministic interleaved corpus at benchmark scale.
+
+    A python-generated base corpus (all fixture families) is replicated
+    ``replicas``× with vectorized doc_id prefixing — one parquet shard per
+    replica. Only replica 0 carries the duplicate-id tail, keeping the dup
+    rate ≪ 1% (the design assumption of the dedup path). Cached on disk so
+    every parallelism level reads byte-identical input.
+    """
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    d = os.path.join(BENCH_ROOT, f"docs-{n_docs}x{replicas}-{seed}")
+    marker = os.path.join(d, "_DONE")
+    paths = [os.path.join(d, f"part-{k:04d}.parquet") for k in range(replicas)]
+    if os.path.exists(marker):
+        return paths
+    from pdfz_ray.corpus import make_documents
+
+    os.makedirs(d, exist_ok=True)
+    base = make_documents(n_docs, seed=seed, monster_spans=800)
+    ids = base.column("doc_id").combine_chunks()
+    for k, p in enumerate(paths):
+        tbl = base if k == 0 else base.slice(0, n_docs)
+        rid = ids if k == 0 else ids.slice(0, n_docs)
+        new_ids = pc.binary_join_element_wise(f"r{k:03d}-", rid, "")
+        pq.write_table(tbl.set_column(0, "doc_id", new_ids), p)
+    with open(marker, "w") as f:
+        f.write("ok\n")
+    return paths
+
+
+def run_bench(sf_dir: str, num_cpus: int, n_docs: int, replicas: int) -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    # the sandbox exports OMP_NUM_THREADS=1 which caps Arrow's driver-side
+    # thread pool; driver-side scans (winner rows, metrics) should parallel
+    pa.set_cpu_count(num_cpus)
+    pa.set_io_thread_count(max(8, num_cpus))
+
+    from pdfz_ray.pipelines.extract_pipeline import build_extract_pipeline
+
+    corpus = ensure_bench_corpus(n_docs, replicas)
+    # warm the page cache so we measure compute + shuffle, not first I/O
+    for p in corpus:
+        with open(p, "rb") as f:
+            while f.read(1 << 22):
+                pass
+    # spin up the worker pool untimed (cluster startup isn't steady-state
+    # throughput; a real N-node cluster is already running when jobs land)
+    rd.range(num_cpus * 4).map_batches(
+        lambda b: b, batch_format="pyarrow", batch_size=1
+    ).materialize()
+    os.sync()  # flush dirty pages from corpus generation / previous runs
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # 1) flagship extraction: read → dedup → extract → OCR pool → write
+    out_dir = os.path.join(BENCH_ROOT, f"out-{num_cpus}")
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    def _extract():
+        # OCR runs in task mode (per-worker engine cache): an actor pool
+        # would fuse the whole read→extract chain onto its reserved CPUs
+        # and cap parallelism at the pool size (measured 3× slower here).
+        ds = rd.read_parquet(corpus)
+        out = build_extract_pipeline(
+            ds,
+            dedup=True,
+            input_files=corpus,
+            ocr=True,
+            batch_size=2048,
+        )
+        out.write_parquet(out_dir)
+
+    timed("extract", _extract)
+
+    # untimed: docs/pages for throughput from the narrow metric columns
+    mt = pads.dataset(out_dir, format="parquet").to_table(
+        columns=["status", "pages"]
+    )
+    import pyarrow.compute as pc
+
+    docs_done = int(
+        pc.sum(pc.equal(mt.column("status"), "done").cast("int64")).as_py() or 0
+    )
+    pages = int(pc.sum(mt.column("pages")).as_py() or 0)
+
+    # 2) exact dedup over the driver documents table
+    from pdfz_ray.functions.dedup import exact_dedup_docs, minhash_lsh_pairs
+
+    def _docs():
+        return rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+
+    timed("exact_dedup", lambda: exact_dedup_docs(_docs()).to_pandas())
+
+    # 3) minhash-LSH near-dup
+    timed("minhash_lsh", lambda: minhash_lsh_pairs(_docs(), threshold=0.2))
+
+    # 4) ANN brute-force top-k
+    from pdfz_ray.functions.similarity import knn_brute, load_query_matrix
+
+    ids, mat = load_query_matrix(sf_dir, n_queries=16)
+    timed(
+        "knn_brute",
+        lambda: knn_brute(rd.read_parquet(f"{sf_dir}/embeddings.parquet"), mat, ids, k=10),
+    )
+
+    # 5) wide-op analytics
+    from pdfz_ray.functions.analytics import events_hourly, lineitem_pricing_summary
+
+    timed("lineitem_pricing", lambda: lineitem_pricing_summary(sf_dir))
+    timed("events_hourly", lambda: events_hourly(sf_dir))
+
+    ray.shutdown()
+
+    total = round(sum(timings.values()), 3)
+    return {
+        "metric": "pdfz_ray headline pipelines (extract+dedup+ann+analytics)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": os.path.basename(os.path.normpath(sf_dir)),
+        "num_cpus": num_cpus,
+        "bench_docs": n_docs * replicas,
+        "docs_done": docs_done,
+        "pages": pages,
+        "docs_per_sec": round(docs_done / timings["extract"], 2),
+        "pages_per_sec": round(pages / timings["extract"], 2),
+    }
+
+
+def run_scaling(sf_dir: str, n_docs: int, replicas: int, lo: int = 8, hi: int = 32) -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir,
+                   BENCH_DOCS=str(n_docs), BENCH_REPLICAS=str(replicas))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    ensure_bench_corpus(n_docs, replicas)  # build once, shared by both runs
+    r_lo, r_hi = one(lo), one(hi)
+    thr_lo = r_lo["pages_per_sec"]
+    thr_hi = r_hi["pages_per_sec"]
+    eff = (thr_hi / thr_lo) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (pages/sec, extract pipeline)",
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "sec_lo": r_lo["queries"]["extract"],
+        "sec_hi": r_hi["queries"]["extract"],
+        "pages_per_sec_lo": thr_lo,
+        "pages_per_sec_hi": thr_hi,
+        "total_sec_lo": r_lo["value"],
+        "total_sec_hi": r_hi["value"],
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    n_docs = int(os.environ.get("BENCH_DOCS", "60000"))
+    replicas = int(os.environ.get("BENCH_REPLICAS", "150"))
+    if "--scaling" in sys.argv:
+        lo = int(os.environ.get("BENCH_SCALING_LO", "8"))
+        hi = int(os.environ.get("BENCH_SCALING_HI", "32"))
+        print(json.dumps(run_scaling(sf_dir, n_docs, replicas, lo, hi)))
+    else:
+        print(json.dumps(run_bench(sf_dir, ncpu, n_docs, replicas)))

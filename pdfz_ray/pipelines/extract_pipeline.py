@@ -38,17 +38,14 @@ from ..state.manifest import Manifest
 
 
 def dedup_within_batch(batch: pa.Table) -> pa.Table:
-    """First-wins doc_id dedup inside one batch (cheap pre-pass)."""
-    ids = batch.column("doc_id").to_pylist()
-    seen: set = set()
-    keep = []
-    for i, d in enumerate(ids):
-        if d not in seen:
-            seen.add(d)
-            keep.append(i)
-    if len(keep) == batch.num_rows:
+    """First-wins doc_id dedup inside one batch (vectorized pre-pass)."""
+    import pandas as pd
+
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    dup = pd.Index(ids).duplicated(keep="first")
+    if not dup.any():
         return batch
-    return batch.take(pa.array(keep, pa.int64()))
+    return batch.filter(pa.array(~dup))
 
 
 def find_duplicate_ids(ids_ds: "ray.data.Dataset") -> set:
@@ -66,33 +63,126 @@ def find_duplicate_ids(ids_ds: "ray.data.Dataset") -> set:
     return {r["doc_id"] for r in dup.take_all()}
 
 
-def exact_dedup(
-    ds: "ray.data.Dataset", dup_ids: set | None = None
-) -> "ray.data.Dataset":
-    """Exact doc_id dedup (J1 semantics) without shuffling unique payloads.
+@ray.remote(num_cpus=1)
+def _file_id_hashes(path: str) -> "np.ndarray":
+    """uint64 hashes of one file's doc_id column (a tiny per-file sketch)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
 
-    Duplicate groups keep one row; with distributed unordered input the
-    reference's "first to arrive" is arbitrary too (api/src/server.ts:90-103
-    races), so any-deterministic-winner within a group is faithful.
+    ids = pq.read_table(path, columns=["doc_id"]).column("doc_id")
+    return pd.util.hash_array(ids.to_numpy(zero_copy_only=False))
+
+
+def scan_duplicates(
+    input_files: list[str],
+) -> tuple[set, dict[str, set]]:
+    """(dup_ids, per-file dup-id presence) via a distributed narrow scan.
+
+    One raw Ray task per file reads ONLY the doc_id column and returns
+    uint64 hashes (8 bytes/row — a Dataset string groupby here cost 10×
+    more, measured); duplicates are found numerically on the driver, then
+    the (rare) colliding ids are resolved exactly by re-reading just the
+    files that contain them. Raw tasks are justified: the reduction is a
+    driver-side merge of per-file sketches, which the Dataset API would
+    express as a far costlier global shuffle. Scale path beyond ~10^9 rows
+    per run: tree-merge the per-file hash arrays in tasks instead of
+    concatenating on the driver.
     """
-    ds = ds.map_batches(dedup_within_batch, batch_format="pyarrow")
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    hashes = ray.get([_file_id_hashes.remote(f) for f in input_files])
+    all_h = np.sort(np.concatenate(hashes)) if hashes else np.zeros(0, np.uint64)
+    dup_h = np.unique(all_h[1:][all_h[1:] == all_h[:-1]])
+    if len(dup_h) == 0:
+        return set(), {}
+    # exact resolution: count candidate id strings in the touched files
+    from collections import Counter
+
+    cnt: Counter = Counter()
+    file_candidates: dict[str, set] = {}
+    for f, h in zip(input_files, hashes):
+        mask = np.isin(h, dup_h)
+        if not mask.any():
+            continue
+        ids = (
+            pq.read_table(f, columns=["doc_id"]).column("doc_id")
+            .to_numpy(zero_copy_only=False)
+        )
+        cand = ids[mask]
+        file_candidates[f] = set(cand.tolist())
+        cnt.update(cand.tolist())
+    dup_ids = {s for s, c in cnt.items() if c > 1}
+    file_dups = {
+        f: cands & dup_ids
+        for f, cands in file_candidates.items()
+        if cands & dup_ids
+    }
+    return dup_ids, file_dups
+
+
+def _winner_rows(
+    input_files: list[str] | None,
+    ds: "ray.data.Dataset",
+    dup_ids: set,
+) -> pa.Table:
+    """One deterministic winner row per duplicated id: the first occurrence
+    in (file order, row order) — the J1 'first to arrive' made reproducible.
+
+    With ``input_files`` this is a targeted parquet read with predicate
+    pushdown (only row groups containing dup ids are materialized); the
+    fallback filters the Dataset (one extra pass, test scale only).
+    """
+    if input_files is not None:
+        import pyarrow.dataset as pads
+
+        tbl = pads.dataset(input_files, format="parquet").to_table(
+            filter=pc.field("doc_id").isin(list(dup_ids)), use_threads=True
+        )
+    else:
+        dup_arr = pa.array(sorted(dup_ids), pa.string())
+        dup_ref = ray.put(dup_arr)
+        filtered = ds.map_batches(
+            lambda b: b.filter(
+                pc.is_in(b.column("doc_id"), value_set=ray.get(dup_ref))
+            ),
+            batch_format="pyarrow",
+        )
+        refs = filtered.to_arrow_refs()
+        tables = [t for t in ray.get(refs) if t.num_rows]
+        tbl = pa.concat_tables(tables)  # dup_ids nonempty ⇒ rows exist
+    return dedup_within_batch(tbl)
+
+
+def exact_dedup(
+    ds: "ray.data.Dataset",
+    dup_ids: set | None = None,
+    input_files: list[str] | None = None,
+) -> "ray.data.Dataset":
+    """Exact doc_id dedup (J1 semantics) in ONE pass over the payloads.
+
+    Shape: a column-pruned id scan finds duplicated ids (rare); their
+    winner rows are fetched by a targeted pushdown read and re-injected as
+    a tiny side dataset, while the main pass simply drops all dup-id rows.
+    No payload shuffle, no branch re-execution of the main input. A
+    dup-heavy corpus would use a hash-partitioned groupby instead.
+    """
     if dup_ids is None:
         dup_ids = find_duplicate_ids(ds.select_columns(["doc_id"]))
     if not dup_ids:
         return ds
-    dup_ref = ray.put(dup_ids)
+    winners = _winner_rows(input_files, ds, dup_ids)
+    dup_ref = ray.put(pa.array(sorted(dup_ids), pa.string()))
 
-    def split(batch: pa.Table, keep_dups: bool) -> pa.Table:
-        dups = ray.get(dup_ref)
-        mask = pa.array([d in dups for d in batch.column("doc_id").to_pylist()])
-        return batch.filter(mask if keep_dups else pc.invert(mask))
+    def drop_dups(batch: pa.Table) -> pa.Table:
+        mask = pc.invert(
+            pc.is_in(batch.column("doc_id"), value_set=ray.get(dup_ref))
+        )
+        return batch.filter(mask)
 
-    uniq = ds.map_batches(lambda b: split(b, False), batch_format="pyarrow")
-    dups_only = ds.map_batches(lambda b: split(b, True), batch_format="pyarrow")
-    resolved = dups_only.groupby("doc_id").map_groups(
-        lambda t: t.slice(0, 1), batch_format="pyarrow"
-    )
-    return uniq.union(resolved)
+    main = ds.map_batches(drop_dups, batch_format="pyarrow")
+    side = ray.data.from_arrow(winners)
+    return main.union(side)
 
 
 def build_extract_pipeline(
@@ -102,30 +192,46 @@ def build_extract_pipeline(
     dedup: bool = True,
     dup_ids: set | None = None,
     exclude_ids: set | None = None,
+    input_files: list[str] | None = None,
     ocr: bool = True,
     ocr_engine: str = "tesseract",
     ocr_model: str | None = None,
-    ocr_concurrency=(1, 4),
+    ocr_concurrency=None,
     batch_size: int = 1024,
 ) -> "ray.data.Dataset":
     """documents Dataset → extraction output Dataset (lazy, streaming).
 
     ``exclude_ids``: doc_ids owned by another partition (cross-partition
     dedup, see ``run_partitioned``) — dropped before any work.
+
+    ``ocr_concurrency``: None (default) runs the engine as *stateless
+    tasks* with a per-worker engine cache — right when the engine is cheap
+    relative to a CPU reservation (Ray fuses the whole chain into the
+    actor pool otherwise, capping pipeline parallelism at the pool size).
+    An int/tuple creates a dedicated actor pool — right for heavy models
+    that need exclusive resources (GPUs, big weights); size it knowing the
+    upstream map fuses in.
     """
     if exclude_ids:
-        excl_ref = ray.put(exclude_ids)
+        excl_ref = ray.put(pa.array(sorted(exclude_ids), pa.string()))
 
         def _drop_excluded(batch: pa.Table) -> pa.Table:
-            excl = ray.get(excl_ref)
-            mask = pa.array(
-                [d not in excl for d in batch.column("doc_id").to_pylist()]
+            mask = pc.invert(
+                pc.is_in(batch.column("doc_id"), value_set=ray.get(excl_ref))
             )
             return batch.filter(mask)
 
         ds = ds.map_batches(_drop_excluded, batch_format="pyarrow")
     if dedup:
-        ds = exact_dedup(ds, dup_ids)
+        dup_files = None
+        if dup_ids is None and input_files is not None:
+            # distributed narrow id-hash scan straight off the files
+            dup_ids, file_dups = scan_duplicates(input_files)
+            dup_files = sorted(file_dups)
+        if dup_ids and exclude_ids:
+            # excluded ids are owned elsewhere — never re-inject their winners
+            dup_ids = set(dup_ids) - set(exclude_ids)
+        ds = exact_dedup(ds, dup_ids, dup_files if dup_files is not None else input_files)
     lookup = jobs if isinstance(jobs, dict) else jobs_table_to_lookup(jobs)
     jobs_ref = ray.put(lookup) if lookup else None
 
@@ -135,14 +241,24 @@ def build_extract_pipeline(
 
     out = ds.map_batches(_extract, batch_format="pyarrow", batch_size=batch_size)
     if ocr:
-        out = out.map_batches(
-            OcrStage,
-            fn_constructor_kwargs={"engine": ocr_engine, "model": ocr_model},
-            batch_format="pyarrow",
-            batch_size=batch_size,
-            concurrency=ocr_concurrency,
-            num_cpus=1,
-        )
+        if ocr_concurrency is None:
+            from ..stages.engines import ocr_task
+
+            out = out.map_batches(
+                ocr_task,
+                fn_kwargs={"engine": ocr_engine, "model": ocr_model},
+                batch_format="pyarrow",
+                batch_size=batch_size,
+            )
+        else:
+            out = out.map_batches(
+                OcrStage,
+                fn_constructor_kwargs={"engine": ocr_engine, "model": ocr_model},
+                batch_format="pyarrow",
+                batch_size=batch_size,
+                concurrency=ocr_concurrency,
+                num_cpus=1,
+            )
     return out
 
 
@@ -175,26 +291,25 @@ def run_partitioned(
         for pid, lo in enumerate(range(0, len(input_paths), partition_size))
     ]
     dedup = pipeline_kw.get("dedup", True)
-    dup_ids: set = set()
     exclude: dict[int, set] = {}
+    chunk_dups: dict[int, set] = {}
+    chunk_dup_files: dict[int, list[str]] = {}
     if dedup and len(chunks) > 1:
-        ids_ds = ray.data.read_parquet(input_paths, columns=["doc_id"])
-        dup_ids = find_duplicate_ids(ids_ds)
+        dup_ids, file_dups = scan_duplicates(input_paths)
         owner: dict = {}
         for pid, files in chunks:
             if not dup_ids:
                 break
-            import pyarrow.parquet as _pq
-
-            present = set()
+            present: set = set()
             for f in files:
-                col = _pq.read_table(f, columns=["doc_id"]).column("doc_id")
-                present.update(v for v in col.to_pylist() if v in dup_ids)
+                present |= file_dups.get(f, set())
             excl = {d for d in present if owner.get(d, pid) != pid}
             for d in present:
                 owner.setdefault(d, pid)
             if excl:
                 exclude[pid] = excl
+            chunk_dups[pid] = present
+            chunk_dup_files[pid] = [f for f in files if file_dups.get(f)]
     ran, skipped = [], []
     for pid, files in chunks:
         if pid in done:
@@ -205,8 +320,9 @@ def run_partitioned(
         out = build_extract_pipeline(
             ds,
             jobs,
-            dup_ids=dup_ids if (dedup and len(chunks) > 1) else None,
+            dup_ids=chunk_dups.get(pid, set()) if (dedup and len(chunks) > 1) else None,
             exclude_ids=exclude.get(pid),
+            input_files=chunk_dup_files.get(pid, files) if dedup else files,
             **pipeline_kw,
         )
         tmp = manifest.begin(pid)

@@ -32,9 +32,8 @@ import pyarrow.compute as pc
 from ..jobs import normalize_model
 
 
-def _digest(payload: str, salt: str) -> str:
-    # md5 so the DuckDB oracle can reproduce it: md5(salt || '|' || payload)
-    return hashlib.md5(f"{salt}|{payload}".encode()).hexdigest()[:12]
+# OCR stand-in digest = md5(salt || '|' || payload)[:12] so the DuckDB
+# oracle can reproduce it: 'tess:' || substr(md5('tesseract|' || payload),1,12)
 
 
 class TesseractLikeEngine:
@@ -50,9 +49,11 @@ class TesseractLikeEngine:
     def __init__(self, model: str | None = None):
         # tessdata load / binary discovery would happen here, once per actor
         self._salt = "tesseract"
+        self._salt_b = b"tesseract|"
 
     def extract_text_from_payloads(self, payloads: list[str]) -> list[str]:
-        return [f"tess:{_digest(p, self._salt)}" for p in payloads]
+        md5, salt = hashlib.md5, self._salt_b
+        return ["tess:" + md5(salt + p.encode()).hexdigest()[:12] for p in payloads]
 
 
 class OllamaLikeEngine:
@@ -70,9 +71,11 @@ class OllamaLikeEngine:
         if not model:
             raise ValueError("ollama engine requires a model (engine/ollama.rs:22)")
         self._model = normalize_model(model)
+        self._salt_b = f"{self._model}|".encode()
 
     def extract_text_from_payloads(self, payloads: list[str]) -> list[str]:
-        return [f"{self._model}:{_digest(p, self._model)}" for p in payloads]
+        md5, salt, pre = hashlib.md5, self._salt_b, self._model + ":"
+        return [pre + md5(salt + p.encode()).hexdigest()[:12] for p in payloads]
 
 
 # The reference's engine factory enum (engine_handler.rs:32-37), as a
@@ -83,11 +86,41 @@ ENGINE_REGISTRY: dict[str, type] = {
 }
 
 
-def make_engine(name: str, model: str | None = None):
-    cls = ENGINE_REGISTRY.get(name.lower())
-    if cls is None:
-        raise ValueError(f"unknown engine {name!r}; known: {sorted(ENGINE_REGISTRY)}")
-    return cls(model)
+def make_engine(engine, model: str | None = None):
+    """Resolve an engine spec: registry name, engine class, or instance.
+
+    Accepting the class/instance directly matters for Ray actor pools —
+    the object pickles into workers, whereas a driver-side registry
+    mutation would not be visible in worker processes (E1 extension
+    surface, engine_handler.rs:52-57).
+    """
+    if isinstance(engine, str):
+        cls = ENGINE_REGISTRY.get(engine.lower())
+        if cls is None:
+            raise ValueError(
+                f"unknown engine {engine!r}; known: {sorted(ENGINE_REGISTRY)}"
+            )
+        return cls(model)
+    if isinstance(engine, type):
+        return engine(model)
+    if hasattr(engine, "extract_text_from_payloads"):
+        return engine
+    raise ValueError(f"not an engine: {engine!r}")
+
+
+# per-worker-process engine cache for task-mode OCR: gives once-per-worker
+# setup (the actor-__init__ property) without reserving CPUs for a pool —
+# see pipelines/extract_pipeline.build_extract_pipeline for when to prefer
+# tasks vs an actor pool
+_ENGINE_CACHE: dict[tuple, "OcrStage"] = {}
+
+
+def ocr_task(batch: pa.Table, engine: str = "tesseract", model: str | None = None):
+    key = (engine, model)
+    stage = _ENGINE_CACHE.get(key)
+    if stage is None:
+        stage = _ENGINE_CACHE.setdefault(key, OcrStage(engine=engine, model=model))
+    return stage(batch)
 
 
 class OcrStage:

@@ -74,6 +74,7 @@ def _sql_for(entry_mod, name: str) -> str:
         "top_largest_docs",
         "page_stats",
         "duplicate_doc_count",
+        "doc_progress",
         "media_decode",
         "text_stats",
         "quality_filter",

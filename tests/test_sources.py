@@ -1,0 +1,125 @@
+"""Ingest validation/quarantine, point lookup, jobs guard, progress quirk."""
+
+import pyarrow as pa
+import pytest
+
+from pdfz_ray.corpus import make_documents
+from pdfz_ray.schema import DOCUMENTS_SCHEMA, JOBS_SCHEMA
+
+
+@pytest.fixture()
+def mixed_ds(ray_session):
+    import ray.data
+
+    good = make_documents(11)
+    bad = pa.Table.from_pylist(
+        [
+            {"doc_id": "", "spans": []},  # empty id
+            {
+                "doc_id": "bad-kind",
+                "spans": [
+                    {"kind": "video", "text": "", "media_ref": "", "offset": 1}
+                ],
+            },
+            {
+                "doc_id": "bad-offset",
+                "spans": [
+                    {"kind": "text", "text": "x", "media_ref": "", "offset": 0}
+                ],
+            },
+        ],
+        schema=DOCUMENTS_SCHEMA,
+    )
+    return ray.data.from_arrow(pa.concat_tables([good, bad]))
+
+
+def test_ingest_quarantine(mixed_ds):
+    from pdfz_ray.sources.readers import ingest
+
+    ok, quarantine = ingest(mixed_ds)
+    q = sorted(r["doc_id"] for r in quarantine.take_all())
+    assert q == ["", "bad-kind", "bad-offset"]
+    assert ok.count() == mixed_ds.count() - 3
+
+
+def test_content_lookup(ray_session):
+    import ray.data
+
+    from pdfz_ray.sources.readers import content_lookup
+
+    ds = ray.data.from_arrow(make_documents(22))
+    hit = content_lookup(ds, "doc-000003")
+    assert hit.num_rows == 1
+    assert content_lookup(ds, "doc-999999").num_rows == 0
+
+
+def test_jobs_existing_guard(ray_session):
+    import ray.data
+
+    from pdfz_ray.sources.readers import filter_jobs_to_existing
+
+    ds = ray.data.from_arrow(make_documents(11))
+    jobs = pa.Table.from_pylist(
+        [
+            {"doc_id": "doc-000001", "start_page": 1, "page_count": 0,
+             "engine": "tesseract", "model": ""},
+            {"doc_id": "doc-999999", "start_page": 1, "page_count": 0,
+             "engine": "tesseract", "model": ""},
+        ],
+        schema=JOBS_SCHEMA,
+    )
+    present, missing = filter_jobs_to_existing(jobs, ds)
+    assert present.column("doc_id").to_pylist() == ["doc-000001"]
+    assert missing.column("doc_id").to_pylist() == ["doc-999999"]
+
+
+def test_progress_quirk_exceeds_100():
+    """Pages {1,3,7} → total 3, last page 7 → 233% (redis.rs:169-178)."""
+    from pdfz_ray.functions.progress import doc_progress_batch
+
+    tbl = pa.Table.from_pylist(
+        [
+            {
+                "doc_id": "d",
+                "spans": [
+                    {"kind": "text", "text": "a", "media_ref": "", "offset": 1},
+                    {"kind": "text", "text": "b", "media_ref": "", "offset": 3},
+                    {"kind": "media", "text": "", "media_ref": "m", "offset": 7},
+                ],
+            }
+        ],
+        schema=DOCUMENTS_SCHEMA,
+    )
+    out = doc_progress_batch(tbl).to_pylist()[0]
+    assert out["final_progress"] == 233
+    assert out["pages_done"] == 3 and out["pages_total"] == 3
+
+
+def test_progress_normal_and_corrupt():
+    from pdfz_ray.functions.progress import doc_progress_batch
+    from pdfz_ray.oracle import Job
+
+    tbl = pa.Table.from_pylist(
+        [
+            {
+                "doc_id": "d",
+                "spans": [
+                    {"kind": "text", "text": "a", "media_ref": "", "offset": p}
+                    for p in range(1, 5)
+                ],
+            },
+            {"doc_id": "x-corrupt", "spans": [
+                {"kind": "text", "text": "a", "media_ref": "", "offset": 1}]},
+        ],
+        schema=DOCUMENTS_SCHEMA,
+    )
+    rows = doc_progress_batch(tbl).to_pylist()
+    assert rows[0]["final_progress"] == 100
+    assert rows[1]["final_progress"] == 0 and rows[1]["pages_total"] == 0
+    # window: start_page=3 on 4 pages → page_limit=4... kept pages {2,3,4},
+    # limit=min stays 4 → processed all kept; last=4, total=4 → 100
+    rows2 = doc_progress_batch(tbl, {"d": Job(start_page=3)}).to_pylist()
+    assert rows2[0]["final_progress"] == 100
+    # page_count=2 → limit 2, processed kept pages {2,3}, last=3 → 150
+    rows3 = doc_progress_batch(tbl, {"d": Job(start_page=3, page_count=2)}).to_pylist()
+    assert rows3[0]["final_progress"] == 150
