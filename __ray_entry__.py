@@ -266,6 +266,76 @@ def _q_knn_lsh(sf_dir: str):
     return knn_lsh(_embeddings(sf_dir), mat, ids, k=10)
 
 
+def _q_sessionize(sf_dir: str):
+    from pdfz_ray.functions.windows import sessionize
+
+    return sessionize(sf_dir, gap_minutes=30)
+
+
+def _q_running_event_counts(sf_dir: str):
+    from pdfz_ray.functions.windows import running_event_counts
+
+    return running_event_counts(sf_dir)
+
+
+def _q_distinct_users(sf_dir: str):
+    from pdfz_ray.functions.windows import distinct_users_by_type
+
+    return distinct_users_by_type(sf_dir)
+
+
+def _q_top_users(sf_dir: str):
+    from pdfz_ray.functions.windows import top_users_by_type
+
+    return top_users_by_type(sf_dir, k=3)
+
+
+def _q_approx_distinct_users(sf_dir: str):
+    from pdfz_ray.functions.windows import approx_distinct_users_by_type
+
+    return approx_distinct_users_by_type(sf_dir)
+
+
+def _q_customers_without_orders(sf_dir: str):
+    """Broadcast ANTI-join: customers with no completed ('F') orders.
+
+    The key set of the filtered small side is read with column/row
+    pruning, deduped, and broadcast; the big side streams through a
+    vectorized is_in filter — no shuffle."""
+    import pyarrow.dataset as pads
+
+    import ray.data
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    okeys = pads.dataset(f"{sf_dir}/orders.parquet").to_table(
+        columns=["o_custkey"], filter=pc.field("o_orderstatus") == "F"
+    )
+    have = pc.unique(okeys.column("o_custkey").combine_chunks())
+    import ray
+
+    ref = ray.put(have)
+
+    def anti(batch: pa.Table) -> pa.Table:
+        mask = pc.invert(pc.is_in(batch.column("c_custkey"), value_set=ray.get(ref)))
+        return batch.filter(mask)
+
+    return cust.map_batches(anti, batch_format="pyarrow")
+
+
+def _q_frame_sample(sf_dir: str):
+    import ray.data
+
+    from pdfz_ray.sources.fixtures import ensure_fixtures
+    from pdfz_ray.stages.media import frame_sample_batch
+
+    paths = ensure_fixtures(sf_dir)
+    return ray.data.read_parquet(paths["media"]).map_batches(
+        frame_sample_batch, batch_format="pyarrow"
+    )
+
+
 def _q_lineitem_pricing(sf_dir: str):
     from pdfz_ray.functions.analytics import lineitem_pricing_summary
 
@@ -313,6 +383,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "knn_brute": _q_knn_brute,
         "knn_lsh": _q_knn_lsh,
+        # stream-shaped windows / distinct (events table)
+        "sessionize": _q_sessionize,
+        "running_event_counts": _q_running_event_counts,
+        "distinct_users_by_type": _q_distinct_users,
+        "top_users_by_type": _q_top_users,
+        "approx_distinct_users": _q_approx_distinct_users,
+        # joins
+        "customers_without_orders": _q_customers_without_orders,
+        # multimodal plumbing
+        "frame_sample": _q_frame_sample,
         # wide-op analytics (TPC-H-ish tables)
         "lineitem_pricing": _q_lineitem_pricing,
         "orders_by_nation": _q_orders_by_nation,
@@ -556,6 +636,51 @@ FROM media_ok
                                         ORDER BY sim DESC, vec_id) AS rnk
               FROM s)
             WHERE rnk <= 10
+        """,
+        "sessionize": """
+            WITH d AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS brk
+              FROM events),
+            s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) + 1
+                      AS session_id
+                  FROM d)
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   count(*) AS n_events, min(ts) AS start_ts, max(ts) AS end_ts
+            FROM s GROUP BY user_id, session_id
+        """,
+        "running_event_counts": """
+            SELECT user_id, event_id,
+                   CAST(row_number() OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS BIGINT) AS running_n
+            FROM events
+        """,
+        "distinct_users_by_type": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
+        """,
+        "top_users_by_type": """
+            WITH c AS (SELECT event_type, user_id, count(*) AS n_events
+                       FROM events GROUP BY 1, 2),
+            r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                       ORDER BY n_events DESC, user_id) AS rnk FROM c)
+            SELECT event_type, user_id, CAST(n_events AS BIGINT) AS n_events,
+                   CAST(rnk AS BIGINT) AS rank
+            FROM r WHERE rnk <= 3
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN
+                  (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        """,
+        "frame_sample": f"""
+            SELECT media_ref,
+                   CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+                   CAST(ceil(octet_length(payload) / 1024.0) AS BIGINT) AS n_frames
+            FROM {_MEDIA_SRC}
         """,
         "lineitem_pricing": """
             SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,193 @@
+"""Stream-shaped operators over the ``events`` table.
+
+Ray Data has no event-time windows/watermarks; per the streaming-batch
+pattern the log is partitioned by key and windowing runs inside
+``groupby(key).map_groups`` over ts-sorted groups (ordering assumption:
+one group = one user's complete history — guaranteed by the hash shuffle).
+At 100 TB the groupby key would be ``hash(user) % B`` buckets with
+per-bucket pandas windowing — same code shape, bounded group size.
+
+All outputs are integer/timestamp-valued so the DuckDB oracles hash
+exactly (no float accumulation).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _events(sf_dir: str, columns: list[str]) -> "ray.data.Dataset":
+    return ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+
+
+def sessionize(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
+    """Session = maximal run of a user's events with gaps <= gap_minutes.
+
+    Output: (user_id, session_id, n_events, start_ts, end_ts); session_id
+    is the per-user 1-based session index in time order.
+    """
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        new = (g["ts"].diff() > gap).cumsum()
+        out = (
+            g.assign(session_id=new + 1)
+            .groupby("session_id", as_index=False)
+            .agg(
+                user_id=("user_id", "first"),
+                n_events=("ts", "size"),
+                start_ts=("ts", "min"),
+                end_ts=("ts", "max"),
+            )
+        )
+        return out[["user_id", "session_id", "n_events", "start_ts", "end_ts"]]
+
+    ds = _events(sf_dir, ["event_id", "user_id", "ts"])
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return out.to_pandas()
+
+
+def running_event_counts(sf_dir: str) -> pd.DataFrame:
+    """Per user, the running event index in (ts, event_id) order — the
+    cumulative-window primitive with an integer measure."""
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        g["running_n"] = range(1, len(g) + 1)
+        return g[["user_id", "event_id", "running_n"]]
+
+    ds = _events(sf_dir, ["event_id", "user_id", "ts"])
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+
+
+def distinct_users_by_type(sf_dir: str) -> pd.DataFrame:
+    """Exact count-distinct per group: batch-local pair dedup (the partial
+    combiner) → distinct-pair groupby → tiny count rollup."""
+    ds = _events(sf_dir, ["user_id", "event_type"])
+
+    def local_pairs(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pairs = ds.map_batches(local_pairs, batch_format="pyarrow")
+    distinct = pairs.groupby(["event_type", "user_id"]).count()
+
+    def count_users(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"event_type": [g["event_type"].iloc[0]], "n_users": [len(g)]}
+        )
+
+    out = distinct.groupby("event_type").map_groups(count_users, batch_format="pandas")
+    return out.to_pandas()
+
+
+def top_users_by_type(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Top-k users per event_type by event count (count desc, user_id asc
+    tiebreak — deterministic)."""
+    ds = _events(sf_dir, ["user_id", "event_type"])
+
+    def local_counts(batch: pa.Table) -> pa.Table:
+        df = (
+            batch.to_pandas()
+            .groupby(["event_type", "user_id"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(local_counts, batch_format="pyarrow")
+    counts = partials.groupby(["event_type", "user_id"]).aggregate(
+        Sum("n", alias_name="n_events")
+    )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_events", "user_id"], ascending=[False, True]).head(k)
+        g["rank"] = range(1, len(g) + 1)
+        return g[["event_type", "user_id", "n_events", "rank"]]
+
+    return counts.groupby("event_type").map_groups(topk, batch_format="pandas").to_pandas()
+
+
+class HyperLogLog:
+    """Minimal HLL sketch (2^p registers, 64-bit hashes) — the mergeable-
+    sketch pattern: one sketch per batch, merged in a tiny reduce."""
+
+    def __init__(self, p: int = 12):
+        import numpy as np
+
+        self.p = p
+        self.m = 1 << p
+        self.reg = np.zeros(self.m, np.uint8)
+
+    def add_hashes(self, h) -> None:
+        import numpy as np
+
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = h << np.uint64(self.p)
+        # rank = leading zeros of remaining bits + 1 (capped)
+        nz = np.zeros(len(h), np.uint8)
+        v = rest.copy()
+        for b in (32, 16, 8, 4, 2, 1):
+            mask = v < (np.uint64(1) << np.uint64(64 - b))
+            nz[mask] += b
+            v[mask] = v[mask] << np.uint64(b)
+        rank = np.minimum(nz + 1, 64 - self.p + 1).astype(np.uint8)
+        import numpy as np2
+
+        np2.maximum.at(self.reg, idx, rank)
+
+    def merge(self, other: "HyperLogLog") -> None:
+        import numpy as np
+
+        np.maximum(self.reg, other.reg, out=self.reg)
+
+    def estimate(self) -> float:
+        import numpy as np
+
+        m = float(self.m)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        est = alpha * m * m / np.sum(2.0 ** -self.reg.astype(np.float64))
+        zeros = int((self.reg == 0).sum())
+        if est <= 2.5 * m and zeros:
+            est = m * np.log(m / zeros)  # linear counting
+        return float(est)
+
+
+def approx_distinct_users_by_type(sf_dir: str, p: int = 12) -> pd.DataFrame:
+    """HLL distinct users per event_type: one serialized sketch per batch
+    per key, merged on the driver (sketches are tiny and mergeable —
+    the shuffle moves 4 KB registers, not user ids)."""
+    ds = _events(sf_dir, ["user_id", "event_type"])
+
+    def sketch_batch(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        rows = []
+        for et, g in df.groupby("event_type"):
+            h = pd.util.hash_array(g["user_id"].to_numpy())
+            hll = HyperLogLog(p)
+            hll.add_hashes(h)
+            rows.append({"event_type": et, "registers": hll.reg.tobytes()})
+        return pa.Table.from_pylist(rows)
+
+    import numpy as np
+
+    sketches = ds.map_batches(sketch_batch, batch_format="pyarrow").take_all()
+    merged: dict[str, HyperLogLog] = {}
+    for r in sketches:
+        hll = merged.setdefault(r["event_type"], HyperLogLog(p))
+        other = HyperLogLog(p)
+        other.reg = np.frombuffer(r["registers"], np.uint8).copy()
+        hll.merge(other)
+    return pd.DataFrame(
+        [
+            {"event_type": et, "approx_users": int(round(h.estimate()))}
+            for et, h in sorted(merged.items())
+        ]
+    )

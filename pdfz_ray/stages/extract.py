@@ -75,6 +75,13 @@ def _empty_output(
     return tbl
 
 
+# memory guard for skewed batches: a batch whose total span count exceeds
+# this is processed in row chunks (SURVEY.md §4 skew row — block splitting
+# can't split a single row, but it can bound how many wide rows share one
+# kernel invocation; a lone monster row still processes alone)
+MAX_SPANS_PER_KERNEL = 4_000_000
+
+
 def extract_batch(
     batch: pa.Table,
     jobs: dict[str, Job] | None = None,
@@ -93,6 +100,30 @@ def extract_batch(
     """
     jobs = jobs or {}
     n = batch.num_rows
+
+    # skew guard: chunk span-heavy batches by cumulative span count
+    if n > 1:
+        lens = pc.fill_null(
+            pc.list_value_length(batch.column("spans")), 0
+        ).to_numpy(zero_copy_only=False)
+        if lens.sum() > MAX_SPANS_PER_KERNEL:
+            cum = np.cumsum(lens)
+            cuts = [0]
+            while cuts[-1] < n:
+                lo = cuts[-1]
+                base = cum[lo - 1] if lo else 0
+                # largest hi with chunk sum <= cap; a single over-cap row
+                # still advances by one (processed alone)
+                hi = int(
+                    np.searchsorted(cum, base + MAX_SPANS_PER_KERNEL, side="right")
+                )
+                cuts.append(max(lo + 1, min(hi, n)))
+            parts = [
+                extract_batch(batch.slice(lo, hi - lo), jobs, emit_payloads)
+                for lo, hi in zip(cuts[:-1], cuts[1:])
+            ]
+            return pa.concat_tables(parts)
+
     doc_ids = batch.column("doc_id").combine_chunks()
     spans_col = batch.column("spans").combine_chunks()
 

@@ -128,6 +128,31 @@ class ImageFeatureStage:
         )
 
 
+FRAME_BYTES = 1024
+
+
+def frame_sample_batch(batch: pa.Table, stride: int = FRAME_BYTES) -> pa.Table:
+    """Multimodal frame-sampling plumbing: treat the opaque payload as a
+    frame stream of fixed-size chunks and emit the sample geometry
+    (n_frames = ceil(bytes/stride)). A real video decoder would replace
+    the chunking; the schema/batching contract is the real part
+    (SURVEY.md multimodal note)."""
+    import pyarrow.compute as pc
+
+    nb = pc.binary_length(batch.column("payload"))
+    n_frames = pc.cast(
+        pc.ceil(pc.divide(pc.cast(nb, pa.float64()), float(stride))), pa.int64()
+    )
+    return pa.Table.from_arrays(
+        [
+            batch.column("media_ref"),
+            pc.cast(nb, pa.int64()),
+            n_frames,
+        ],
+        names=["media_ref", "n_bytes", "n_frames"],
+    )
+
+
 def decode_real_image(payload: bytes):  # pragma: no cover - no codecs in CI
     """True image decode — requires PIL, which this container may lack.
 

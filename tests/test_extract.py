@@ -122,3 +122,33 @@ def test_batch_split_invariance():
     for lo in range(0, tbl.num_rows, 7):
         parts.extend(extract_batch(tbl.slice(lo, 7)).to_pylist())
     assert whole == parts
+
+
+def test_wide_row_skew_guard(monkeypatch):
+    """A span-heavy batch is chunked internally (identical output), and a
+    single monster row still processes alone."""
+    import pdfz_ray.stages.extract as ex
+
+    tbl = make_documents(33, monster_spans=500)
+    tbl = _first_wins(tbl)
+    whole = extract_batch(tbl).to_pylist()
+    monkeypatch.setattr(ex, "MAX_SPANS_PER_KERNEL", 700)
+    chunked = ex.extract_batch(tbl).to_pylist()
+    assert whole == chunked
+
+    monster = pa.Table.from_pylist(
+        [
+            {
+                "doc_id": "huge",
+                "spans": [
+                    {"kind": "text", "text": f"s{i}", "media_ref": "",
+                     "offset": i // 9 + 1}
+                    for i in range(5000)
+                ],
+            }
+        ],
+        schema=DOCUMENTS_SCHEMA,
+    )
+    out = ex.extract_batch(monster)
+    assert out.num_rows == 1
+    assert out.column("pages").to_pylist()[0] == 5000 // 9 + 1

@@ -85,6 +85,12 @@ def _sql_for(entry_mod, name: str) -> str:
         "ngram_jaccard",
         "embedding_neardup",
         "knn_brute",
+        "sessionize",
+        "running_event_counts",
+        "distinct_users_by_type",
+        "top_users_by_type",
+        "customers_without_orders",
+        "frame_sample",
         "lineitem_pricing",
         "orders_by_nation",
         "events_hourly",
@@ -101,9 +107,24 @@ def test_query_matches_oracle(entry_mod, con, name):
     _cmp(got, want)
 
 
-@pytest.mark.parametrize("name", ["rolling_fingerprint", "lang_id", "minhash_lsh", "simhash", "knn_lsh"])
+@pytest.mark.parametrize(
+    "name",
+    ["rolling_fingerprint", "lang_id", "minhash_lsh", "simhash", "knn_lsh",
+     "approx_distinct_users"],
+)
 def test_rows_only_queries_run(entry_mod, name):
     got = entry_mod.queries()[name](SF)
     if hasattr(got, "to_pandas"):
         got = got.to_pandas()
     assert len(got) >= 0
+
+
+def test_hll_accuracy_vs_exact(entry_mod, con):
+    approx = entry_mod.queries()["approx_distinct_users"](SF)
+    exact = con.execute(
+        "SELECT event_type, count(DISTINCT user_id) AS n FROM events GROUP BY 1"
+    ).df()
+    m = dict(zip(exact["event_type"], exact["n"]))
+    for r in approx.itertuples():
+        rel = abs(r.approx_users - m[r.event_type]) / max(m[r.event_type], 1)
+        assert rel < 0.05, (r.event_type, r.approx_users, m[r.event_type])
