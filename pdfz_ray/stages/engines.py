@@ -146,7 +146,14 @@ class OcrStage:
         try:
             texts = self._engine.extract_text_from_payloads(payloads)
         except Exception:
-            texts = [""] * len(payloads)
+            # per-element fallback: a poison payload costs only itself
+            # (engine/mod.rs:118-127 logs and skips per image)
+            texts = []
+            for p in payloads:
+                try:
+                    texts.append(self._engine.extract_text_from_payloads([p])[0])
+                except Exception:
+                    texts.append("")
         lengths = pc.fill_null(pc.list_value_length(col), 0).to_numpy(
             zero_copy_only=False
         )

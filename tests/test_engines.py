@@ -85,3 +85,36 @@ def test_image_feature_stage_shape():
     # deterministic
     again = ImageFeatureStage()(tbl).column("features").to_pylist()
     assert feats == again
+
+
+def test_ocr_per_element_failure_isolation():
+    """A poison payload yields "" for itself only (M7: log-and-skip)."""
+    class FragileEngine:
+        def __init__(self, model=None):
+            pass
+
+        def extract_text_from_payloads(self, payloads):
+            if any(p == "poison" for p in payloads):
+                raise RuntimeError("boom")
+            return [f"ok:{p}" for p in payloads]
+
+    import pyarrow as pa
+
+    from pdfz_ray.schema import DOCUMENTS_SCHEMA
+
+    tbl = pa.Table.from_pylist(
+        [
+            {
+                "doc_id": "d",
+                "spans": [
+                    {"kind": "media", "text": "good", "media_ref": "a", "offset": 1},
+                    {"kind": "media", "text": "poison", "media_ref": "b", "offset": 1},
+                    {"kind": "media", "text": "fine", "media_ref": "c", "offset": 1},
+                ],
+            }
+        ],
+        schema=DOCUMENTS_SCHEMA,
+    )
+    out = extract_batch(tbl, emit_payloads=True)
+    res = OcrStage(engine=FragileEngine)(out).to_pylist()[0]
+    assert res["ocr_text"] == ["ok:good", "", "ok:fine"]
