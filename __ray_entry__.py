@@ -202,6 +202,13 @@ def _q_rolling_fingerprint(sf_dir: str):
     return out.select_columns(["doc_id", "rolling64"])
 
 
+def _q_winnow(sf_dir: str):
+    from pdfz_ray.functions.text import winnow_batch
+
+    out = _docs_table(sf_dir).map_batches(winnow_batch, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "n_fingerprints"])
+
+
 def _q_lang_id(sf_dir: str):
     from pdfz_ray.functions.text import LangIdStage
 
@@ -238,6 +245,55 @@ def _q_simhash(sf_dir: str):
     from pdfz_ray.functions.dedup import simhash_pairs
 
     return simhash_pairs(_docs_table(sf_dir), max_hamming=3)
+
+
+def _q_neardup_groups(sf_dir: str):
+    """Near-dup clusters: exact-Jaccard pairs → connected components."""
+    from pdfz_ray.functions.dedup import neardup_groups, ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(_docs_table(sf_dir), threshold=0.2)
+    return neardup_groups(pairs)
+
+
+def _q_orders_join_hash(sf_dir: str):
+    """Hash-partitioned Dataset.join (both sides large path): orders ⨝
+    customer, rolled up per market segment — the shuffle-join twin of the
+    broadcast join in orders_by_nation."""
+    import ray.data
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    joined = orders.join(
+        cust,
+        join_type="inner",
+        num_partitions=8,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        g = (
+            batch.to_pandas()
+            .groupby("c_mktsegment", as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    partials = joined.map_batches(partial, batch_format="pyarrow")
+    return (
+        partials.groupby("c_mktsegment")
+        .aggregate(Sum("n", alias_name="n_orders"))
+        .to_pandas()
+    )
 
 
 def _embeddings(sf_dir: str):
@@ -372,6 +428,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": _q_token_count,
         "fingerprint": _q_fingerprint,
         "rolling_fingerprint": _q_rolling_fingerprint,
+        "winnow_fingerprints": _q_winnow,
         "lang_id": _q_lang_id,
         "lang_distribution": _q_lang_distribution,
         # dedup family
@@ -380,6 +437,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh": _q_minhash_lsh,
         "simhash": _q_simhash,
         "embedding_neardup": _q_embedding_neardup,
+        "neardup_groups": _q_neardup_groups,
         # similarity search
         "knn_brute": _q_knn_brute,
         "knn_lsh": _q_knn_lsh,
@@ -391,6 +449,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users": _q_approx_distinct_users,
         # joins
         "customers_without_orders": _q_customers_without_orders,
+        "orders_by_segment_hashjoin": _q_orders_join_hash,
         # multimodal plumbing
         "frame_sample": _q_frame_sample,
         # wide-op analytics (TPC-H-ish tables)
@@ -617,6 +676,34 @@ FROM media_ok
             SELECT doc_id_a, doc_id_b FROM p
             WHERE inter > 0 AND inter * 1.0 / uni >= 0.2
             ORDER BY doc_id_a, doc_id_b
+        """,
+        "neardup_groups": r"""
+            WITH RECURSIVE toks AS (
+              SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(generate_series(1, len(w) - 2),
+                                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+              FROM toks),
+            p AS (
+              SELECT a.doc_id AS a, b.doc_id AS b,
+                     len(list_intersect(a.g, b.g)) AS inter,
+                     len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS uni
+              FROM grams a JOIN grams b ON a.doc_id < b.doc_id),
+            pairs AS (SELECT a, b FROM p WHERE inter > 0 AND inter * 1.0 / uni >= 0.2),
+            edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+            reach(node, label) AS (
+              SELECT a, a FROM edges
+              UNION
+              SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
+            )
+            SELECT node AS doc_id, min(label) AS group_id
+            FROM reach GROUP BY node
+        """,
+        "orders_by_segment_hashjoin": """
+            SELECT c_mktsegment, count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
         """,
         "embedding_neardup": """
             SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b

@@ -359,6 +359,42 @@ def simhash_pairs(ds: "ray.data.Dataset", max_hamming: int = 3) -> pa.Table:
     return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
 
 
+def neardup_groups(pairs: pa.Table) -> pa.Table:
+    """Connected components over near-dup pairs → (doc_id, group_id) with
+    group_id = min doc_id of the component.
+
+    Driver-side union-find — valid because the candidate pair set is small
+    by construction (LSH/verified pairs). At graph scale this becomes a few
+    rounds of min-label propagation: explode edges both ways, groupby(node)
+    min(label), repeat until fixpoint.
+    """
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in zip(
+        pairs.column("doc_id_a").to_pylist(), pairs.column("doc_id_b").to_pylist()
+    ):
+        union(int(a), int(b))
+    nodes = sorted(parent)
+    return pa.Table.from_arrays(
+        [
+            pa.array(nodes, pa.int64()),
+            pa.array([find(n) for n in nodes], pa.int64()),
+        ],
+        names=["doc_id", "group_id"],
+    )
+
+
 # ---------------------------------------------------------------------------
 # embedding cosine near-dup
 # ---------------------------------------------------------------------------

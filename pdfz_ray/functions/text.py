@@ -124,6 +124,44 @@ class LangIdStage:
         )
 
 
+def winnow_fingerprints(text: str, k: int = 5, w: int = 4) -> list[int]:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003):
+    rolling hashes of character k-grams, one minimum per sliding window of
+    w hashes (rightmost min on ties) — guarantees any match of length
+    >= w + k - 1 shares a fingerprint."""
+    t = (text or "").lower()
+    n = len(t)
+    if n < k:
+        return []
+    hashes = [_rolling64(t[i : i + k]) for i in range(n - k + 1)]
+    fps: list[int] = []
+    last = -1
+    for i in range(max(len(hashes) - w + 1, 1)):
+        win = hashes[i : i + w]
+        m = min(win)
+        # rightmost occurrence of the min in the window
+        j = i + len(win) - 1 - win[::-1].index(m)
+        if j != last:
+            fps.append(hashes[j])
+            last = j
+    return fps
+
+
+def winnow_batch(batch: pa.Table, k: int = 5, w: int = 4) -> pa.Table:
+    """(doc_id, n_fingerprints, fingerprints) per doc — the winnowed
+    fingerprint set used for plagiarism-style containment detection."""
+    texts = batch.column("text").to_pylist()
+    fps = [winnow_fingerprints(t, k, w) for t in texts]
+    return pa.Table.from_arrays(
+        [
+            batch.column("doc_id"),
+            pa.array([len(f) for f in fps], pa.int64()),
+            pa.array(fps, pa.list_(pa.int64())),
+        ],
+        names=["doc_id", "n_fingerprints", "fingerprints"],
+    )
+
+
 def token_count_batch(batch: pa.Table) -> pa.Table:
     """Whitespace token count + a BPE-ish subword count (regex pieces:
     word chunks of <=4 chars, digits, punctuation singles)."""

@@ -136,3 +136,29 @@ def test_fingerprint_stability(docs_ds):
     out = docs_ds.map_batches(fingerprint_batch, batch_format="pyarrow").to_pandas()
     assert out["fingerprint"].str.len().eq(32).all()
     assert out["rolling64"].dtype == np.int64
+
+
+def test_winnowing_guarantee():
+    """Any shared substring of length >= w+k-1 yields a shared fingerprint
+    (the winnowing guarantee), and fingerprints are position-independent."""
+    from pdfz_ray.functions.text import winnow_fingerprints
+
+    k, w = 5, 4
+    shared = "the quick brown fox jumps"
+    a = "XXXX " + shared + " YYYY"
+    b = "completely other prefix " + shared + " and suffix"
+    fa = set(winnow_fingerprints(a, k, w))
+    fb = set(winnow_fingerprints(b, k, w))
+    assert fa & fb
+    # disjoint texts share (almost surely) nothing
+    fc = set(winnow_fingerprints("zzz qqq 12345 67890 abcdef", k, w))
+    assert not (fa & fc)
+    assert winnow_fingerprints("ab", k, w) == []
+
+
+def test_winnow_batch_shape(docs_ds):
+    from pdfz_ray.functions.text import winnow_batch
+
+    out = docs_ds.map_batches(winnow_batch, batch_format="pyarrow").to_pandas()
+    assert (out["n_fingerprints"] > 0).all()
+    assert out["fingerprints"].map(len).equals(out["n_fingerprints"].astype(object).map(int))

@@ -85,6 +85,8 @@ def _sql_for(entry_mod, name: str) -> str:
         "ngram_jaccard",
         "embedding_neardup",
         "knn_brute",
+        "neardup_groups",
+        "orders_by_segment_hashjoin",
         "sessionize",
         "running_event_counts",
         "distinct_users_by_type",
@@ -109,8 +111,8 @@ def test_query_matches_oracle(entry_mod, con, name):
 
 @pytest.mark.parametrize(
     "name",
-    ["rolling_fingerprint", "lang_id", "minhash_lsh", "simhash", "knn_lsh",
-     "approx_distinct_users"],
+    ["rolling_fingerprint", "winnow_fingerprints", "lang_id", "minhash_lsh",
+     "simhash", "knn_lsh", "approx_distinct_users"],
 )
 def test_rows_only_queries_run(entry_mod, name):
     got = entry_mod.queries()[name](SF)
@@ -128,3 +130,22 @@ def test_hll_accuracy_vs_exact(entry_mod, con):
     for r in approx.itertuples():
         rel = abs(r.approx_users - m[r.event_type]) / max(m[r.event_type], 1)
         assert rel < 0.05, (r.event_type, r.approx_users, m[r.event_type])
+
+
+def test_entry_matches_pure_oracle(entry_mod):
+    """entry()'s distributed result == single-process oracle over the same
+    interleaved rows (ingest conversion + extraction, end to end)."""
+    import pyarrow.parquet as pq
+
+    from pdfz_ray.oracle import extract_corpus, flatten_results
+    from pdfz_ray.pipelines.extract_pipeline import interleave_documents
+
+    src = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    interleaved = interleave_documents(src)
+    want = sorted(
+        (tuple(r.values()) for r in flatten_results(
+            extract_corpus(interleaved.to_pylist()))),
+    )
+    res = entry_mod.entry()
+    got = sorted(tuple(r.values()) for r in res.take_all())
+    assert got == want
