@@ -222,16 +222,37 @@ def build_extract_pipeline(
             return batch.filter(mask)
 
         ds = ds.map_batches(_drop_excluded, batch_format="pyarrow")
+    winners: pa.Table | None = None
     if dedup:
         dup_files = None
         if dup_ids is None and input_files is not None:
             # distributed narrow id-hash scan straight off the files
             dup_ids, file_dups = scan_duplicates(input_files)
             dup_files = sorted(file_dups)
+        elif dup_ids is None:
+            # no file handle (in-memory dataset): column-pruned Dataset scan
+            dup_ids = find_duplicate_ids(ds.select_columns(["doc_id"]))
         if dup_ids and exclude_ids:
             # excluded ids are owned elsewhere — never re-inject their winners
             dup_ids = set(dup_ids) - set(exclude_ids)
-        ds = exact_dedup(ds, dup_ids, dup_files if dup_files is not None else input_files)
+        if dup_ids:
+            winners = _winner_rows(
+                dup_files if dup_files is not None else input_files, ds, dup_ids
+            )
+            dup_ref = ray.put(pa.array(sorted(dup_ids), pa.string()))
+
+            def drop_dups(batch: pa.Table) -> pa.Table:
+                mask = pc.invert(
+                    pc.is_in(batch.column("doc_id"), value_set=ray.get(dup_ref))
+                )
+                return batch.filter(mask)
+
+            # dup rows are dropped in the fused main chain; the (tiny)
+            # winner set is extracted driver-side and unioned AFTER the
+            # extract stage, so the main read→extract→write chain stays one
+            # fused operator (a pre-extract union costs an extra trip of
+            # the whole corpus through the object store — measured)
+            ds = ds.map_batches(drop_dups, batch_format="pyarrow")
     lookup = jobs if isinstance(jobs, dict) else jobs_table_to_lookup(jobs)
     jobs_ref = ray.put(lookup) if lookup else None
 
@@ -239,11 +260,11 @@ def build_extract_pipeline(
         j = ray.get(jobs_ref) if jobs_ref is not None else {}
         return extract_batch(batch, j, emit_payloads=ocr)
 
+    from ..stages.engines import ocr_task
+
     out = ds.map_batches(_extract, batch_format="pyarrow", batch_size=batch_size)
     if ocr:
         if ocr_concurrency is None:
-            from ..stages.engines import ocr_task
-
             out = out.map_batches(
                 ocr_task,
                 fn_kwargs={"engine": ocr_engine, "model": ocr_model},
@@ -259,6 +280,11 @@ def build_extract_pipeline(
                 concurrency=ocr_concurrency,
                 num_cpus=1,
             )
+    if winners is not None:
+        side = extract_batch(winners, lookup, emit_payloads=ocr)
+        if ocr:
+            side = ocr_task(side, engine=ocr_engine, model=ocr_model)
+        out = out.union(ray.data.from_arrow(side))
     return out
 
 
