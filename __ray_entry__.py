@@ -202,6 +202,21 @@ def _q_rolling_fingerprint(sf_dir: str):
     return out.select_columns(["doc_id", "rolling64"])
 
 
+def _q_normalize(sf_dir: str):
+    from pdfz_ray.functions.text import normalize_batch
+
+    return _docs_table(sf_dir).map_batches(normalize_batch, batch_format="pyarrow")
+
+
+def _q_text_embed(sf_dir: str):
+    """Feature-hashing text embedder (actor pool; deterministic)."""
+    from pdfz_ray.functions.text import HashEmbedder
+
+    return _docs_table(sf_dir).map_batches(
+        HashEmbedder, batch_format="pyarrow", concurrency=(1, 2)
+    )
+
+
 def _q_winnow(sf_dir: str):
     from pdfz_ray.functions.text import winnow_batch
 
@@ -429,6 +444,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": _q_fingerprint,
         "rolling_fingerprint": _q_rolling_fingerprint,
         "winnow_fingerprints": _q_winnow,
+        "normalize_text": _q_normalize,
+        "text_embed": _q_text_embed,
         "lang_id": _q_lang_id,
         "lang_distribution": _q_lang_distribution,
         # dedup family
@@ -651,6 +668,12 @@ FROM media_ok
         "fingerprint": r"""
             SELECT doc_id,
                    md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+            FROM documents
+        """,
+        "normalize_text": r"""
+            SELECT doc_id,
+                   trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))
+                       AS norm_text
             FROM documents
         """,
         "lang_distribution": """

@@ -124,6 +124,58 @@ class LangIdStage:
         )
 
 
+def normalize_batch(batch: pa.Table) -> pa.Table:
+    """Text normalization for dedup/training prep: NFC unicode normalize,
+    lowercase, collapse whitespace, strip. Matches DuckDB
+    ``trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g'))``
+    so the op is SQL-checkable byte-for-byte."""
+    import unicodedata
+
+    texts = batch.column("text").to_pylist()
+    norm = [
+        " ".join(unicodedata.normalize("NFC", t or "").lower().split())
+        for t in texts
+    ]
+    return pa.Table.from_arrays(
+        [batch.column("doc_id"), pa.array(norm, pa.string())],
+        names=["doc_id", "norm_text"],
+    )
+
+
+class HashEmbedder:
+    """Deterministic text → embedding stand-in (feature-hashing bag of
+    words into ``dim`` buckets, L2-normalized float32). The plumbing —
+    batched vectorized embedding into a fixed-size-list column — is the
+    real shape a model embedder drops into; only the kernel is fake."""
+
+    def __init__(self, dim: int = 64):
+        self.dim = dim
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        out = np.zeros((len(texts), self.dim), np.float32)
+        for i, t in enumerate(texts):
+            toks = (t or "").lower().split()
+            if not toks:
+                continue
+            h = pd.util.hash_array(np.asarray(toks, object))
+            idx = (h % np.uint64(self.dim)).astype(np.int64)
+            sign = np.where((h >> np.uint64(32)) & np.uint64(1), 1.0, -1.0)
+            np.add.at(out[i], idx, sign)
+            n = np.linalg.norm(out[i])
+            if n > 0:
+                out[i] /= n
+        return pa.Table.from_arrays(
+            [
+                batch.column("doc_id"),
+                pa.FixedSizeListArray.from_arrays(
+                    pa.array(out.ravel(), pa.float32()), self.dim
+                ),
+            ],
+            names=["doc_id", "embedding"],
+        )
+
+
 def winnow_fingerprints(text: str, k: int = 5, w: int = 4) -> list[int]:
     """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003):
     rolling hashes of character k-grams, one minimum per sliding window of

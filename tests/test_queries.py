@@ -80,6 +80,7 @@ def _sql_for(entry_mod, name: str) -> str:
         "quality_filter",
         "token_count",
         "fingerprint",
+        "normalize_text",
         "lang_distribution",
         "exact_dedup",
         "ngram_jaccard",
@@ -112,7 +113,7 @@ def test_query_matches_oracle(entry_mod, con, name):
 @pytest.mark.parametrize(
     "name",
     ["rolling_fingerprint", "winnow_fingerprints", "lang_id", "minhash_lsh",
-     "simhash", "knn_lsh", "approx_distinct_users"],
+     "simhash", "knn_lsh", "approx_distinct_users", "text_embed"],
 )
 def test_rows_only_queries_run(entry_mod, name):
     got = entry_mod.queries()[name](SF)
