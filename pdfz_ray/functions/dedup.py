@@ -64,9 +64,12 @@ def exact_dedup_docs(ds: "ray.data.Dataset") -> "ray.data.Dataset":
 
 
 def word_ngrams(text: str, n: int = 3) -> set:
+    # < n tokens → no grams, mirroring the SQL oracle's
+    # generate_series(1, len(w) - 2) which is empty for short docs
+    # (a short-gram here would emit pairs the SQL omits).
     toks = (text or "").split()
     if len(toks) < n:
-        return set([" ".join(toks)]) if toks else set()
+        return set()
     return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
 
 

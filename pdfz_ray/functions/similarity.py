@@ -26,9 +26,15 @@ import ray
 
 def _to_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
     lst = batch.column(col)
-    flat = lst.combine_chunks().flatten().to_numpy(zero_copy_only=False)
     n = batch.num_rows
-    return flat.reshape(n, -1).astype(np.float64) if n else np.zeros((0, 1))
+    if n == 0:
+        # shape the empty matrix (0, d) so downstream matmuls against a
+        # broadcast (N, d) matrix don't shape-mismatch on empty batches
+        t = batch.schema.field(col).type
+        d = t.list_size if pa.types.is_fixed_size_list(t) else 1
+        return np.zeros((0, d), np.float64)
+    flat = lst.combine_chunks().flatten().to_numpy(zero_copy_only=False)
+    return flat.reshape(n, -1).astype(np.float64)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:

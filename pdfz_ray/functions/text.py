@@ -29,15 +29,27 @@ def text_stats_batch(batch: pa.Table) -> pa.Table:
     n_tokens = pc.count_substring_regex(text, TOKEN_RE)
     n_punct = pc.count_substring_regex(text, PUNCT_RE)
     low = pc.utf8_lower(text)
-    toks = pd.Series(low.to_pandas()).str.split()
-    stop = set(STOPWORDS)
-    n_stop = toks.map(lambda ws: sum(1 for w in ws if w in stop) if ws is not None else 0)
+    # split on the same RE2 \s+ the DuckDB oracle uses (ASCII whitespace
+    # only — Python str.split() also splits on NBSP/U+2028 and diverges)
+    toks = pc.split_pattern_regex(low, pattern=r"\s+")
+    toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    flat = toks.flatten()
+    if len(flat):
+        parent = pc.list_parent_indices(toks).to_numpy().astype(np.int64)
+        is_stop = pc.is_in(flat, value_set=pa.array(STOPWORDS)).to_numpy(
+            zero_copy_only=False
+        )
+        n_stop = np.bincount(
+            parent, weights=is_stop.astype(np.float64), minlength=len(toks)
+        ).astype(np.int64)
+    else:
+        n_stop = np.zeros(len(toks), np.int64)
     return pa.Table.from_arrays(
         [
             batch.column("doc_id"),
             pc.cast(n_chars, pa.int64()),
             pc.cast(n_tokens, pa.int64()),
-            pa.array(n_stop.to_numpy(np.int64)),
+            pa.array(n_stop),
             pc.cast(n_punct, pa.int64()),
         ],
         names=["doc_id", "n_chars", "n_tokens", "n_stopwords", "n_punct"],
@@ -132,12 +144,16 @@ def normalize_batch(batch: pa.Table) -> pa.Table:
     import unicodedata
 
     texts = batch.column("text").to_pylist()
-    norm = [
-        " ".join(unicodedata.normalize("NFC", t or "").lower().split())
-        for t in texts
-    ]
+    nfc = pa.array(
+        [unicodedata.normalize("NFC", t or "") for t in texts], pa.string()
+    )
+    # collapse/trim via the same RE2 \s as the oracle (ASCII whitespace);
+    # Python str.split() would also eat NBSP/U+2028 and diverge byte-wise
+    low = pc.utf8_lower(nfc)
+    collapsed = pc.replace_substring_regex(low, pattern=r"\s+", replacement=" ")
+    norm = pc.replace_substring_regex(collapsed, pattern=r"^ | $", replacement="")
     return pa.Table.from_arrays(
-        [batch.column("doc_id"), pa.array(norm, pa.string())],
+        [batch.column("doc_id"), norm],
         names=["doc_id", "norm_text"],
     )
 

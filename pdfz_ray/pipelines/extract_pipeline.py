@@ -228,7 +228,10 @@ def build_extract_pipeline(
         if dup_ids is None and input_files is not None:
             # distributed narrow id-hash scan straight off the files
             dup_ids, file_dups = scan_duplicates(input_files)
-            dup_files = sorted(file_dups)
+            # preserve the caller's input_files order (not lexicographic) so
+            # the deterministic winner is the true first occurrence in file
+            # order even for unsorted input lists
+            dup_files = [f for f in input_files if f in file_dups]
         elif dup_ids is None:
             # no file handle (in-memory dataset): column-pruned Dataset scan
             dup_ids = find_duplicate_ids(ds.select_columns(["doc_id"]))
@@ -310,12 +313,26 @@ def run_partitioned(
     so resume reproduces it), and every other partition drops them. Only the
     narrow doc_id column is ever read twice; payloads stream exactly once.
     """
+    import hashlib
+
     manifest = Manifest(out_dir)
-    done = set(manifest.completed()) if resume else set()
     chunks = [
         (pid, input_paths[lo : lo + partition_size])
         for pid, lo in enumerate(range(0, len(input_paths), partition_size))
     ]
+    # fingerprint each partition's file list: a manifest 'done' entry is
+    # honored only if the partition still maps to the same files — resuming
+    # with a different --partition-size or input set must not skip pids
+    # that now cover different chunks (would duplicate/drop documents)
+    chunk_md5 = {
+        pid: hashlib.md5("\n".join(files).encode()).hexdigest()
+        for pid, files in chunks
+    }
+    done = set()
+    if resume:
+        for pid, row in manifest.completed().items():
+            if row.get("files_md5", chunk_md5.get(pid)) == chunk_md5.get(pid):
+                done.add(pid)
     dedup = pipeline_kw.get("dedup", True)
     exclude: dict[int, set] = {}
     chunk_dups: dict[int, set] = {}
@@ -356,6 +373,7 @@ def run_partitioned(
         wall = time.perf_counter() - t0
         metrics = _partition_metrics(tmp)
         metrics["wall_s"] = round(wall, 4)
+        metrics["files_md5"] = chunk_md5[pid]
         manifest.commit(pid, metrics)
         ran.append(pid)
     return {

@@ -116,13 +116,15 @@ def filter_jobs_to_existing(
     """J4 upload-exists guard: semi-join jobs against the input id set
     (broadcast — the id set of *jobs* is small; we probe the big side with
     a pushdown-friendly is_in and collect matching ids only)."""
-    wanted = set(jobs.column("doc_id").to_pylist())
+    wanted = pc.unique(jobs.column("doc_id").combine_chunks())
     ref = ray.put(wanted)
 
     def probe(batch: pa.Table) -> pa.Table:
-        w = ray.get(ref)
-        ids = [d for d in batch.column("doc_id").to_pylist() if d in w]
-        return pa.Table.from_arrays([pa.array(ids, pa.string())], names=["doc_id"])
+        ids = batch.column("doc_id")
+        mask = pc.is_in(ids, value_set=ray.get(ref))
+        return pa.Table.from_arrays(
+            [pc.cast(ids.filter(mask), pa.string())], names=["doc_id"]
+        )
 
     present = {
         r["doc_id"]

@@ -106,6 +106,49 @@ def test_knn_lsh_recall(emb_ds):
     assert len(a & b) / len(b) >= 0.5  # multiprobe recall on tiny corpus
 
 
+def test_word_ngrams_short_docs_match_sql():
+    """Docs with < n tokens produce NO grams — matching the SQL oracle's
+    empty generate_series, so identical 2-token docs are never paired."""
+    from pdfz_ray.functions.dedup import word_ngrams
+
+    assert word_ngrams("", 3) == set()
+    assert word_ngrams("one two", 3) == set()
+    assert word_ngrams("a b c", 3) == {"a b c"}
+
+
+def test_normalize_unicode_whitespace_matches_duckdb(ray_session):
+    """normalize/stat ops split on RE2 \\s (ASCII) like the oracle — NBSP
+    and U+2028 must survive as characters, not act as separators."""
+    import duckdb
+
+    from pdfz_ray.functions.text import normalize_batch, text_stats_batch
+
+    tricky = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": [
+                "the quick  fox",  # NBSP — not RE2 whitespace
+                "line one line two",  # LS — not RE2 whitespace
+                "  The  A  of\t\n to ",  # ASCII whitespace only
+            ],
+        }
+    )
+    got = normalize_batch(tricky).to_pydict()
+    want = duckdb.sql(
+        r"""SELECT trim(regexp_replace(lower(nfc_normalize(text)),
+            '\s+', ' ', 'g')) AS norm_text FROM tricky"""
+    ).fetchall()
+    assert got["norm_text"] == [r[0] for r in want]
+
+    stats = text_stats_batch(tricky).to_pydict()
+    want_stop = duckdb.sql(
+        r"""SELECT len(list_filter(string_split_regex(lower(text), '\s+'),
+            t -> t IN ('the','a','and','of','to','in','is','on','for','data')))
+            FROM tricky"""
+    ).fetchall()
+    assert stats["n_stopwords"] == [r[0] for r in want_stop]
+
+
 def test_text_stats_and_quality(docs_ds):
     from pdfz_ray.functions.text import quality_filter_batch, text_stats_batch
 

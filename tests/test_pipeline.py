@@ -112,6 +112,27 @@ def test_run_partitioned_and_resume(ray_session, corpus_files, tmp_path):
     )
 
 
+def test_resume_rejects_changed_chunking(ray_session, corpus_files, tmp_path):
+    """A manifest 'done' pid is honored only when it still maps to the same
+    file chunk — resuming with a different partition_size re-runs instead of
+    silently skipping pids that now cover different files (ADVICE r1)."""
+    from pdfz_ray.pipelines.extract_pipeline import run_partitioned
+
+    tbl, paths = corpus_files
+    out_dir = str(tmp_path / "out_chunk")
+    res1 = run_partitioned(paths, out_dir, partition_size=2, ocr=False)
+    assert res1["partitions_run"] == [0, 1]
+
+    # same chunking resumes cleanly ...
+    res2 = run_partitioned(paths, out_dir, partition_size=2, ocr=False)
+    assert res2["partitions_skipped"] == [0, 1]
+
+    # ... but a different partition_size invalidates every committed pid
+    res3 = run_partitioned(paths, out_dir, partition_size=1, ocr=False)
+    assert res3["partitions_skipped"] == []
+    assert res3["partitions_run"] == [0, 1, 2, 3]
+
+
 def test_interleave_ingest(ray_session):
     import ray.data as rd
 
