@@ -221,7 +221,7 @@ def _q_winnow(sf_dir: str):
     from pdfz_ray.functions.text import winnow_batch
 
     out = _docs_table(sf_dir).map_batches(winnow_batch, batch_format="pyarrow")
-    return out.select_columns(["doc_id", "n_fingerprints"])
+    return out.select_columns(["doc_id", "n_fingerprints", "fp_xor64"])
 
 
 def _q_lang_id(sf_dir: str):
@@ -669,6 +669,53 @@ FROM media_ok
             SELECT doc_id,
                    md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
             FROM documents
+        """,
+        # golden differential oracles: the vectorized mod-2^64 hash kernels
+        # vs an independent pure-Python byte-loop reference, written to
+        # golden_text.parquet at fixture time (pdfz_ray/sources/fixtures.py)
+        "rolling_fingerprint": f"""
+            SELECT doc_id, rolling64
+            FROM read_parquet('{FIX}/golden_text.parquet')
+        """,
+        "winnow_fingerprints": f"""
+            SELECT doc_id, n_fingerprints, fp_xor64
+            FROM read_parquet('{FIX}/golden_text.parquet')
+        """,
+        # simhash banding+verify vs brute-force SQL pairs over reference
+        # signatures (banding has FULL recall at hamming<=3 by pigeonhole,
+        # so the two sets must be equal, not merely overlap)
+        "simhash": f"""
+            WITH g AS (SELECT doc_id, simhash
+                       FROM read_parquet('{FIX}/golden_text.parquet'))
+            SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+            FROM g a JOIN g b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+            ORDER BY 1, 2
+        """,
+        # lang_id heuristic expressed directly in SQL (deterministic
+        # stopword-profile argmax with alphabetical tie-break, CJK check)
+        "lang_id": r"""
+            WITH w AS (
+              SELECT doc_id, text,
+                     list_transform(regexp_extract_all(text, '[a-zA-ZÀ-ÿ]+'),
+                                    x -> lower(x)) AS words
+              FROM documents),
+            h AS (
+              SELECT doc_id, text, len(words) AS n_words,
+                len(list_filter(words, x -> x IN ('der','die','das','und','ist','nicht','ein','zu','mit'))) AS h_de,
+                len(list_filter(words, x -> x IN ('the','and','of','to','a','in','is','that','for','it'))) AS h_en,
+                len(list_filter(words, x -> x IN ('el','la','los','y','es','un','una','de','que','por'))) AS h_es,
+                len(list_filter(words, x -> x IN ('le','la','les','et','est','un','une','des','que','pour'))) AS h_fr
+              FROM w)
+            SELECT doc_id,
+                   CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                        WHEN n_words = 0 THEN 'unknown'
+                        WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'unknown'
+                        WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+                        WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+                        WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+                        ELSE 'fr' END AS lang_pred
+            FROM h
         """,
         "normalize_text": r"""
             SELECT doc_id,

@@ -160,21 +160,43 @@ class MinHasher:
         self.ngram = ngram
 
     def signature(self, text: str) -> np.ndarray:
-        sh = sorted(word_ngrams(text, self.ngram))
+        """Single-doc signature (tests / spot checks; the batch path below
+        is the hot path and computes identical values)."""
+        sh = list(word_ngrams(text, self.ngram))
         if not sh:
             return np.full(self.num_perm, np.iinfo(np.uint64).max, np.uint64)
         x = _hash_strings(sh)
         return (self.a[:, None] * x[None, :] + self.b[:, None]).min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        """Batched signing: hash every shingle of the batch in ONE
+        pd.util.hash_array call, then per-permutation segmented minima
+        (np.minimum.reduceat) over doc boundaries — no per-doc Python
+        signing loop (round-1 anti-pattern)."""
         ids = batch.column("doc_id").to_pylist()
-        sigs = [self.signature(t) for t in batch.column("text").to_pylist()]
-        mat = np.stack(sigs) if sigs else np.zeros((0, self.num_perm), np.uint64)
+        sh_lists = [word_ngrams(t, self.ngram) for t in batch.column("text").to_pylist()]
+        counts = np.fromiter((len(s) for s in sh_lists), np.int64, len(sh_lists))
+        total = int(counts.sum())
+        mat = np.full((len(ids), self.num_perm), np.iinfo(np.uint64).max, np.uint64)
+        if total:
+            x = _hash_strings([s for lst in sh_lists for s in lst])
+            nz = counts > 0
+            # non-empty starts only: they strictly increase and partition x
+            # exactly (empty segments would corrupt reduceat boundaries)
+            starts_nz = (np.cumsum(counts) - counts)[nz]
+            CHUNK = 16  # perms per pass caps the (CHUNK, total) temp at ~MBs
+            for lo in range(0, self.num_perm, CHUNK):
+                vals = (
+                    self.a[lo : lo + CHUNK, None] * x[None, :]
+                    + self.b[lo : lo + CHUNK, None]
+                )
+                red = np.minimum.reduceat(vals, starts_nz, axis=1)
+                mat[nz, lo : lo + CHUNK] = red.T
         return pa.Table.from_arrays(
             [
                 pa.array(ids, pa.int64()),
                 pa.FixedSizeListArray.from_arrays(
-                    pa.array(mat.ravel().astype(np.uint64)), self.num_perm
+                    pa.array(mat.ravel()), self.num_perm
                 ),
             ],
             names=["doc_id", "minhash"],
@@ -288,6 +310,8 @@ class SimHasher:
         pass
 
     def simhash(self, text: str) -> int:
+        """Single-doc signature (reference path for tests/goldens; the
+        batched __call__ computes identical values)."""
         toks = (text or "").split()
         if not toks:
             return 0
@@ -301,11 +325,28 @@ class SimHasher:
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        """Batched signing: one hash_array call over every token in the
+        batch, ±1 bit matrix, segmented sums per doc (np.add.reduceat) —
+        no per-row Python signing."""
         ids = batch.column("doc_id").to_pylist()
-        hs = [self.simhash(t) for t in batch.column("text").to_pylist()]
+        tok_lists = [(t or "").split() for t in batch.column("text").to_pylist()]
+        counts = np.fromiter((len(t) for t in tok_lists), np.int64, len(tok_lists))
+        total = int(counts.sum())
+        out = np.zeros(len(ids), np.uint64)
+        if total:
+            h = _hash_strings([t for lst in tok_lists for t in lst])
+            shifts = np.arange(self.BITS, dtype=np.uint64)
+            bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32)
+            pm = bits * 2 - 1  # (total, 64) of ±1
+            nz = counts > 0
+            # non-empty starts only (see MinHasher note on reduceat bounds)
+            starts_nz = (np.cumsum(counts) - counts)[nz]
+            acc = np.add.reduceat(pm, starts_nz, axis=0)  # (n_nonempty, 64)
+            out[nz] = np.bitwise_or.reduce(
+                (acc > 0).astype(np.uint64) << shifts[None, :], axis=1
+            )
         return pa.Table.from_arrays(
-            [pa.array(ids, pa.int64()),
-             pa.array(np.array(hs, np.uint64).view(np.int64))],
+            [pa.array(ids, pa.int64()), pa.array(out.view(np.int64))],
             names=["doc_id", "simhash"],
         )
 

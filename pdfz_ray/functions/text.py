@@ -21,6 +21,74 @@ STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "on", "for", "data")
 PUNCT_RE = r"[.,;:!?]"
 TOKEN_RE = r"\S+"
 
+# polynomial-hash base for the 64-bit content keys (arithmetic mod 2^64 —
+# numpy uint64 wraparound IS the modulus, which is what makes the kernels
+# vectorizable; the round-1 mod-(2^61-1) variant forced a per-byte Python
+# loop, the classic row-at-a-time scale-killer)
+POLY_BASE = 1_000_003
+_U64 = 0xFFFFFFFFFFFFFFFF
+
+
+def rolling64_ref(t: str, base: int = POLY_BASE) -> int:
+    """Pure-Python byte-loop reference for the 64-bit polynomial hash
+    (h = Σ byte_i · B^(n−1−i) mod 2^64, returned as signed int64). Golden
+    fixtures are generated with THIS implementation; the vectorized
+    ``poly64_array`` below must agree bit-for-bit."""
+    h = 0
+    for ch in t.encode():
+        h = (h * base + ch) & _U64
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def _utf8_view(arr) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-copy (byte buffer, int64 absolute offsets) view of a utf8 array
+    (nulls must be filled by the caller)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    raw_off = np.frombuffer(arr.buffers()[1], np.int32)
+    off = raw_off[arr.offset : arr.offset + len(arr) + 1].astype(np.int64)
+    buf = arr.buffers()[2]
+    data = (
+        np.frombuffer(buf, np.uint8) if buf is not None else np.zeros(0, np.uint8)
+    )
+    return data, off
+
+
+def _pow_table(n: int, base: int = POLY_BASE) -> np.ndarray:
+    """[B^0, B^1, ..., B^n] mod 2^64."""
+    p = np.empty(n + 1, np.uint64)
+    p[0] = 1
+    if n:
+        np.multiply.accumulate(np.full(n, base, np.uint64), out=p[1:])
+    return p
+
+
+def poly64_array(arr, base: int = POLY_BASE) -> np.ndarray:
+    """Vectorized whole-string polynomial hash of every element of a utf8
+    array → uint64[n]. One multiply + one segmented wrap-sum over the
+    array's raw byte buffer — no Python per row, no per-byte loop."""
+    data, off = _utf8_view(arr)
+    lens = off[1:] - off[:-1]
+    n = len(lens)
+    out = np.zeros(n, np.uint64)
+    if n == 0 or int(lens.max()) == 0:
+        return out
+    pows = _pow_table(int(lens.max()), base)
+    lo, hi = int(off[0]), int(off[-1])
+    # exponent of each byte = (its doc's end − 1 − absolute index); int32
+    # index math + in-place ops keep the per-byte temporaries at 2×, not 6×
+    exp = np.repeat((off[1:] - lo - 1).astype(np.int32), lens)
+    exp -= np.arange(hi - lo, dtype=np.int32)
+    terms = pows[exp]
+    terms *= data[lo:hi]
+    # reduceat over NON-EMPTY segment starts only: an empty segment's start
+    # equals the next start, and a trailing empty one would have to be
+    # clipped — corrupting the previous segment's end. Non-empty starts are
+    # strictly increasing and partition `terms` exactly.
+    nz = lens > 0
+    out[nz] = np.add.reduceat(terms, (off[:-1] - lo)[nz])
+    return out
+
 
 def text_stats_batch(batch: pa.Table) -> pa.Table:
     """Integer quality counters per doc (SQL-exact; no floats)."""
@@ -72,27 +140,22 @@ def quality_filter_batch(
 
 def fingerprint_batch(batch: pa.Table) -> pa.Table:
     """Document fingerprint: md5 of whitespace-collapsed lower-cased text
-    (SQL-exact via DuckDB md5()), plus a 64-bit rolling-hash content key."""
-    low = pc.utf8_lower(batch.column("text"))
+    (SQL-exact via DuckDB md5()), plus a 64-bit polynomial content key
+    (vectorized mod-2^64 hash; checked against the ``rolling64_ref``
+    golden fixture)."""
+    low = pc.utf8_lower(pc.fill_null(batch.column("text"), ""))
     norm = pc.replace_substring_regex(low, pattern=r"\s+", replacement=" ")
-    norm_py = norm.to_pylist()
-    md5s = [hashlib.md5((t or "").encode()).hexdigest() for t in norm_py]
-    rolling = [_rolling64(t or "") for t in norm_py]
+    norm_arr = norm.combine_chunks() if isinstance(norm, pa.ChunkedArray) else norm
+    md5s = [hashlib.md5((t or "").encode()).hexdigest() for t in norm_arr.to_pylist()]
+    rolling = poly64_array(norm_arr).view(np.int64)
     return pa.Table.from_arrays(
         [
             batch.column("doc_id"),
             pa.array(md5s, pa.string()),
-            pa.array(rolling, pa.int64()),
+            pa.array(rolling),
         ],
         names=["doc_id", "fingerprint", "rolling64"],
     )
-
-
-def _rolling64(t: str, base: int = 1_000_003, mod: int = (1 << 61) - 1) -> int:
-    h = 0
-    for ch in t.encode():
-        h = (h * base + ch) % mod
-    return h
 
 
 class LangIdStage:
@@ -193,15 +256,21 @@ class HashEmbedder:
 
 
 def winnow_fingerprints(text: str, k: int = 5, w: int = 4) -> list[int]:
-    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003):
-    rolling hashes of character k-grams, one minimum per sliding window of
-    w hashes (rightmost min on ties) — guarantees any match of length
-    >= w + k - 1 shares a fingerprint."""
-    t = (text or "").lower()
-    n = len(t)
+    """Pure-Python winnowing reference (Schleimer, Wilkerson, Aiken 2003):
+    polynomial hashes of byte k-grams of the lower-cased text, one minimum
+    per sliding window of w hashes (rightmost min on ties) — guarantees any
+    match of length >= w + k - 1 bytes shares a fingerprint. Golden fixtures
+    use THIS loop implementation; the vectorized ``winnow_doc`` must agree."""
+    b = (text or "").lower().encode()
+    n = len(b)
     if n < k:
         return []
-    hashes = [_rolling64(t[i : i + k]) for i in range(n - k + 1)]
+    hashes = []
+    for i in range(n - k + 1):
+        h = 0
+        for byte in b[i : i + k]:
+            h = (h * POLY_BASE + byte) & _U64
+        hashes.append(h - (1 << 64) if h >= (1 << 63) else h)
     fps: list[int] = []
     last = -1
     for i in range(max(len(hashes) - w + 1, 1)):
@@ -215,18 +284,53 @@ def winnow_fingerprints(text: str, k: int = 5, w: int = 4) -> list[int]:
     return fps
 
 
+def winnow_doc(b: np.ndarray, k: int, w: int, pows_k: np.ndarray) -> np.ndarray:
+    """Vectorized winnowing of one document's byte view → int64 fingerprint
+    positions-deduped array. ``pows_k`` = [B^(k−1) ... B^0]."""
+    n = len(b)
+    if n < k:
+        return np.zeros(0, np.int64)
+    win = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+    kg = (win * pows_k).sum(axis=1, dtype=np.uint64).view(np.int64)
+    m = len(kg)
+    if m < w:
+        # single short window — rightmost minimum
+        j = m - 1 - int(np.argmin(kg[::-1]))
+        return kg[[j]]
+    winh = np.lib.stride_tricks.sliding_window_view(kg, w)
+    # rightmost min per window: argmin of the reversed window is the FIRST
+    # min there, i.e. the LAST in the original orientation
+    jpos = np.arange(m - w + 1) + (w - 1 - np.argmin(winh[:, ::-1], axis=1))
+    keep = np.empty(len(jpos), bool)
+    keep[0] = True
+    keep[1:] = jpos[1:] != jpos[:-1]
+    return kg[jpos[keep]]
+
+
 def winnow_batch(batch: pa.Table, k: int = 5, w: int = 4) -> pa.Table:
-    """(doc_id, n_fingerprints, fingerprints) per doc — the winnowed
-    fingerprint set used for plagiarism-style containment detection."""
-    texts = batch.column("text").to_pylist()
-    fps = [winnow_fingerprints(t, k, w) for t in texts]
+    """(doc_id, n_fingerprints, fp_xor64, fingerprints) per doc — the
+    winnowed fingerprint set for plagiarism-style containment detection.
+    fp_xor64 (order-independent XOR of the set) is the SQL-checkable
+    content key. Hot path is numpy over zero-copy byte views."""
+    low = pc.utf8_lower(pc.fill_null(batch.column("text"), ""))
+    low = low.combine_chunks() if isinstance(low, pa.ChunkedArray) else low
+    data, off = _utf8_view(low)
+    pows_k = _pow_table(k - 1)[::-1].copy()
+    fps = [
+        winnow_doc(data[off[i] : off[i + 1]], k, w, pows_k)
+        for i in range(len(low))
+    ]
+    xors = np.array(
+        [int(np.bitwise_xor.reduce(f)) if len(f) else 0 for f in fps], np.int64
+    )
     return pa.Table.from_arrays(
         [
             batch.column("doc_id"),
             pa.array([len(f) for f in fps], pa.int64()),
-            pa.array(fps, pa.list_(pa.int64())),
+            pa.array(xors),
+            pa.array([f.tolist() for f in fps], pa.list_(pa.int64())),
         ],
-        names=["doc_id", "n_fingerprints", "fingerprints"],
+        names=["doc_id", "n_fingerprints", "fp_xor64", "fingerprints"],
     )
 
 

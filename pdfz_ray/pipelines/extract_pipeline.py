@@ -417,39 +417,112 @@ WORDS_PER_SPAN = 15
 def interleave_documents(batch: pa.Table) -> pa.Table:
     """Deterministically re-shape flat docs (doc_id:int64, text, ...) into
     the interleaved schema: pages of ~40 words, 1-3 text spans per page,
-    a media span every 3rd page (every 9th is a decode failure)."""
-    from ..schema import DOCUMENTS_SCHEMA
+    a media span every 3rd page (every 9th is a decode failure).
 
-    ids = batch.column("doc_id").to_pylist()
+    Vectorized with list-offset arithmetic: the span layout (pages, spans
+    per page, media cadence) is flat numpy arrays; span text is gathered
+    from one concatenated byte buffer with a single fancy index and the
+    utf8/list arrays are assembled directly from offsets — no per-span
+    dicts or from_pylist (the round-1 row-loop version sat in the entry()
+    hot path)."""
+    from ..schema import DOCUMENTS_SCHEMA, SPAN_STRUCT
+
+    ids_np = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
     texts = batch.column("text").to_pylist()
-    rows = []
-    for i, txt in zip(ids, texts):
-        doc_id = f"doc-{int(i):08d}"
-        words = (txt or "").split()
-        spans = []
-        page = 0
-        for lo in range(0, max(len(words), 1), WORDS_PER_PAGE):
-            page += 1
-            pw = words[lo : lo + WORDS_PER_PAGE]
-            for s in range(0, max(len(pw), 1), WORDS_PER_SPAN):
-                spans.append(
-                    {
-                        "kind": "text",
-                        "text": " ".join(pw[s : s + WORDS_PER_SPAN]),
-                        "media_ref": "",
-                        "offset": page,
-                    }
-                )
-            if (int(i) + page) % 3 == 0:
-                bad = (int(i) + page) % 9 == 0
-                payload = f"{'!bad-' if bad else ''}img-{int(i)}-{page}"
-                spans.append(
-                    {
-                        "kind": "media",
-                        "text": payload,
-                        "media_ref": f"in-{int(i)}-{page}",
-                        "offset": page,
-                    }
-                )
-        rows.append({"doc_id": doc_id, "spans": spans})
-    return pa.Table.from_pylist(rows, schema=DOCUMENTS_SCHEMA)
+    D = len(texts)
+    if D == 0:
+        return pa.Table.from_pylist([], schema=DOCUMENTS_SCHEMA)
+
+    words_per_doc = [(t or "").split() for t in texts]
+    n_words = np.fromiter((len(w) for w in words_per_doc), np.int64, D)
+    all_words = [w for ws in words_per_doc for w in ws]
+    # byte offsets of every word inside one giant single-space-joined buffer
+    wlen = (
+        pc.binary_length(pa.array(all_words, pa.string())).to_numpy()
+        if all_words
+        else np.zeros(0, np.int64)
+    ).astype(np.int64)
+    gstart = np.zeros(len(all_words) + 1, np.int64)
+    np.cumsum(wlen + 1, out=gstart[1:])
+    gend = gstart[: len(all_words)] + wlen
+    gbytes = np.frombuffer(" ".join(all_words).encode(), np.uint8)
+    doc_word0 = np.zeros(D, np.int64)
+    np.cumsum(n_words[:-1], out=doc_word0[1:])
+
+    # page layout (every doc has ≥1 page even when empty)
+    P = np.maximum((n_words + WORDS_PER_PAGE - 1) // WORDS_PER_PAGE, 1)
+    n_pages = int(P.sum())
+    page_doc = np.repeat(np.arange(D), P)
+    page_num = (np.arange(n_pages) - np.repeat(np.cumsum(P) - P, P) + 1)
+    is_last = page_num == P[page_doc]
+    rem = n_words - (P - 1) * WORDS_PER_PAGE
+    pw = np.where(is_last, rem[page_doc], WORDS_PER_PAGE)
+    t_spans = np.maximum((pw + WORDS_PER_SPAN - 1) // WORDS_PER_SPAN, 1)
+    has_media = (ids_np[page_doc] + page_num) % 3 == 0
+
+    # text spans: word ranges → byte ranges → one gather off the buffer
+    n_ts = int(t_spans.sum())
+    ts_page = np.repeat(np.arange(n_pages), t_spans)
+    s_idx = np.arange(n_ts) - np.repeat(np.cumsum(t_spans) - t_spans, t_spans)
+    ts_doc = page_doc[ts_page]
+    w_lo = (page_num[ts_page] - 1) * WORDS_PER_PAGE + s_idx * WORDS_PER_SPAN
+    page_end = (page_num[ts_page] - 1) * WORDS_PER_PAGE + pw[ts_page]
+    w_hi = np.minimum(w_lo + WORDS_PER_SPAN, page_end)
+    b_lo = gstart[doc_word0[ts_doc] + w_lo]
+    # clip the end-word index so empty spans (w_hi == w_lo, masked by the
+    # where) never index past the word table
+    gend_safe = gend if len(gend) else np.zeros(1, np.int64)
+    end_idx = np.minimum(
+        doc_word0[ts_doc] + np.maximum(w_hi, 1) - 1, len(gend_safe) - 1
+    )
+    b_hi = np.where(w_hi > w_lo, gend_safe[end_idx], b_lo)
+    L = b_hi - b_lo
+    n_bytes = int(L.sum())
+    span_starts = np.cumsum(L) - L
+    src = (
+        b_lo[np.repeat(np.arange(n_ts), L)]
+        + np.arange(n_bytes)
+        - np.repeat(span_starts, L)
+    )
+    data = gbytes[src] if n_bytes else np.zeros(0, np.uint8)
+    offs = np.zeros(n_ts + 1, np.int32)
+    np.cumsum(L, out=offs[1:])
+    text_vals = pa.Array.from_buffers(
+        pa.utf8(), n_ts, [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(data.tobytes())]
+    )
+
+    # media spans (≤1 per page; payload strings are few, built directly)
+    mp = np.nonzero(has_media)[0]
+    m_doc, m_page = page_doc[mp], page_num[mp]
+    m_ids = ids_np[m_doc]
+    bad = (m_ids + m_page) % 9 == 0
+    payloads = [
+        ("!bad-img-" if b else "img-") + f"{i}-{p}"
+        for i, p, b in zip(m_ids.tolist(), m_page.tolist(), bad.tolist())
+    ]
+    mrefs = [f"in-{i}-{p}" for i, p in zip(m_ids.tolist(), m_page.tolist())]
+    n_ms = len(mp)
+
+    # interleave: per doc, per page — text spans in order, then the media
+    # span; realized as one lexsort over (doc, page, is_media, span_idx)
+    all_doc = np.concatenate([ts_doc, m_doc])
+    all_page = np.concatenate([page_num[ts_page], m_page])
+    all_med = np.concatenate([np.zeros(n_ts, np.int8), np.ones(n_ms, np.int8)])
+    all_s = np.concatenate([s_idx, np.zeros(n_ms, np.int64)])
+    order = pa.array(np.lexsort((all_s, all_med, all_page, all_doc)))
+    text_col = pa.concat_arrays([text_vals, pa.array(payloads, pa.string())]).take(order)
+    ref_col = pa.concat_arrays(
+        [pa.nulls(n_ts, pa.string()).fill_null(""), pa.array(mrefs, pa.string())]
+    ).take(order)
+    kind_col = pa.array(np.where(all_med == 1, "media", "text")[order.to_numpy()])
+    off_col = pa.array(all_page[order.to_numpy()].astype(np.int32))
+    struct = pa.StructArray.from_arrays(
+        [kind_col, text_col, ref_col, off_col],
+        fields=list(SPAN_STRUCT),
+    )
+    spans_per_doc = np.bincount(all_doc, minlength=D)
+    list_offs = np.zeros(D + 1, np.int32)
+    np.cumsum(spans_per_doc, out=list_offs[1:])
+    spans_col = pa.ListArray.from_arrays(pa.array(list_offs), struct)
+    doc_ids = pa.array([f"doc-{int(i):08d}" for i in ids_np], pa.string())
+    return pa.Table.from_arrays([doc_ids, spans_col], schema=DOCUMENTS_SCHEMA)

@@ -43,8 +43,11 @@ def ensure_fixtures(sf_dir: str) -> dict[str, str]:
         "jobs": os.path.join(d, "jobs.parquet"),
         "media": os.path.join(d, "media.parquet"),
         "golden_flat": os.path.join(d, "golden_flat.parquet"),
+        "golden_text": os.path.join(d, "golden_text.parquet"),
     }
-    marker = os.path.join(d, "_DONE")
+    # v2: adds the golden_text table (pure-Python reference hashes for the
+    # vectorized text kernels); bump regenerates stale round-1 caches
+    marker = os.path.join(d, "_DONE_v2")
     if os.path.exists(marker):
         return paths
     os.makedirs(d, exist_ok=True)
@@ -57,6 +60,43 @@ def ensure_fixtures(sf_dir: str) -> dict[str, str]:
     pq.write_table(
         pa.Table.from_pylist(golden, schema=FLAT_OUTPUT_SCHEMA), paths["golden_flat"]
     )
+    docs_pq = os.path.join(sf_dir, "documents.parquet")
+    if os.path.exists(docs_pq):
+        _write_text_goldens(docs_pq, paths["golden_text"])
     with open(marker, "w") as f:
         f.write("ok\n")
     return paths
+
+
+def _write_text_goldens(docs_pq: str, out_path: str) -> None:
+    """Golden content keys over the driver's flat documents table, computed
+    by the pure-Python *reference* implementations (byte loops / per-doc
+    signing) — the vectorized operators are differentially checked against
+    this file via oracle_sql(). Independent code path, same semantics."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..functions.dedup import SimHasher
+    from ..functions.text import rolling64_ref, winnow_fingerprints
+
+    t = pq.read_table(docs_pq, columns=["doc_id", "text"])
+    texts = t.column("text").to_pylist()
+    low = pc.utf8_lower(t.column("text"))
+    norm = pc.replace_substring_regex(
+        low, pattern=r"\s+", replacement=" "
+    ).to_pylist()
+    rolling = [rolling64_ref(s or "") for s in norm]
+    wfs = [winnow_fingerprints(s) for s in texts]
+    xors = [int(np.bitwise_xor.reduce(np.array(f, np.int64))) if f else 0 for f in wfs]
+    sh = SimHasher()
+    sims = np.array([sh.simhash(s) for s in texts], np.uint64).view(np.int64)
+    golden = pa.Table.from_pydict(
+        {
+            "doc_id": t.column("doc_id"),
+            "rolling64": pa.array(rolling, pa.int64()),
+            "n_fingerprints": pa.array([len(f) for f in wfs], pa.int64()),
+            "fp_xor64": pa.array(xors, pa.int64()),
+            "simhash": pa.array(sims),
+        }
+    )
+    pq.write_table(golden, out_path)

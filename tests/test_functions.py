@@ -173,6 +173,61 @@ def test_lang_id_deterministic(docs_ds):
     assert set(a["lang_pred"]) <= {"en", "de", "fr", "es", "zh", "unknown"}
 
 
+def test_poly64_matches_byte_loop_reference():
+    """Vectorized mod-2^64 polynomial hash == pure-Python byte loop,
+    including empty / unicode / sliced-array inputs."""
+    from pdfz_ray.functions.text import poly64_array, rolling64_ref
+
+    samples = ["", "a", "hello world", "Ünïcödé ☃ tëxt", "x" * 1000, "", "t", ""]
+    arr = pa.array(samples, pa.string())
+    assert poly64_array(arr).view(np.int64).tolist() == [
+        rolling64_ref(s) for s in samples
+    ]
+    sliced = arr.slice(2, 4)  # non-zero array offset must not shift views
+    assert poly64_array(sliced).view(np.int64).tolist() == [
+        rolling64_ref(s) for s in samples[2:6]
+    ]
+
+
+def test_winnow_vectorized_matches_reference():
+    import random
+
+    from pdfz_ray.functions.text import (
+        _pow_table,
+        winnow_doc,
+        winnow_fingerprints,
+    )
+
+    random.seed(7)
+    pows_k = _pow_table(4)[::-1].copy()
+    cases = ["", "ab", "Ünïcödé tëxt to winnow over several words here"] + [
+        "".join(random.choice("abc ") for _ in range(random.randint(0, 80)))
+        for _ in range(100)
+    ]
+    for s in cases:
+        b = np.frombuffer(s.lower().encode(), np.uint8)
+        assert winnow_doc(b, 5, 4, pows_k).tolist() == winnow_fingerprints(s, 5, 4), s
+
+
+def test_batched_signing_matches_scalar():
+    """MinHash / SimHash batch paths (segmented reduceat) == per-doc
+    scalar reference, incl. leading/trailing empty docs."""
+    from pdfz_ray.functions.dedup import MinHasher, SimHasher
+
+    texts = ["", "the quick brown fox jumps over dogs", "", "one two",
+             "a b c d e f g", "z " * 50, ""]
+    tbl = pa.Table.from_pydict(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": texts}
+    )
+    mh = MinHasher()
+    for t, s in zip(texts, mh(tbl).column("minhash").to_pylist()):
+        assert (mh.signature(t) == np.asarray(s, np.uint64)).all(), t
+    sh = SimHasher()
+    got = np.asarray(sh(tbl).column("simhash").to_pylist(), np.int64).view(np.uint64)
+    for t, h in zip(texts, got):
+        assert sh.simhash(t) == int(h), t
+
+
 def test_fingerprint_stability(docs_ds):
     from pdfz_ray.functions.text import fingerprint_batch
 

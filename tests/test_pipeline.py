@@ -133,6 +133,61 @@ def test_resume_rejects_changed_chunking(ray_session, corpus_files, tmp_path):
     assert res3["partitions_run"] == [0, 1, 2, 3]
 
 
+def _interleave_row_loop_ref(ids, texts):
+    """Row-loop reference for interleave_documents (the round-1 impl) —
+    pins the vectorized offset-arithmetic version bit-for-bit."""
+    from pdfz_ray.pipelines.extract_pipeline import WORDS_PER_PAGE, WORDS_PER_SPAN
+    from pdfz_ray.schema import DOCUMENTS_SCHEMA
+
+    rows = []
+    for i, txt in zip(ids, texts):
+        words = (txt or "").split()
+        spans = []
+        page = 0
+        for lo in range(0, max(len(words), 1), WORDS_PER_PAGE):
+            page += 1
+            pw = words[lo : lo + WORDS_PER_PAGE]
+            for s in range(0, max(len(pw), 1), WORDS_PER_SPAN):
+                spans.append(
+                    {"kind": "text", "text": " ".join(pw[s : s + WORDS_PER_SPAN]),
+                     "media_ref": "", "offset": page}
+                )
+            if (int(i) + page) % 3 == 0:
+                bad = (int(i) + page) % 9 == 0
+                spans.append(
+                    {"kind": "media",
+                     "text": f"{'!bad-' if bad else ''}img-{int(i)}-{page}",
+                     "media_ref": f"in-{int(i)}-{page}", "offset": page}
+                )
+        rows.append({"doc_id": f"doc-{int(i):08d}", "spans": spans})
+    return pa.Table.from_pylist(rows, schema=DOCUMENTS_SCHEMA)
+
+
+def test_interleave_vectorized_matches_row_loop():
+    from pdfz_ray.pipelines.extract_pipeline import interleave_documents
+
+    words = lambda n: " ".join(f"w{j}" for j in range(n))  # noqa: E731
+    cases = ["", words(1), words(15), words(40), words(41), words(80),
+             words(123), "Ünïcödé " * 30, words(600), ""]
+    ids = list(range(len(cases)))
+    batch = pa.Table.from_pydict(
+        {"doc_id": pa.array(ids, pa.int64()), "text": cases}
+    )
+    got = interleave_documents(batch)
+    want = _interleave_row_loop_ref(ids, cases)
+    assert got.schema.equals(want.schema)
+    assert got.to_pylist() == want.to_pylist()
+
+    real = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    got = interleave_documents(real)
+    want = _interleave_row_loop_ref(
+        real.column("doc_id").to_pylist(), real.column("text").to_pylist()
+    )
+    assert got.to_pylist() == want.to_pylist()
+
+
 def test_interleave_ingest(ray_session):
     import ray.data as rd
 
