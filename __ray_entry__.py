@@ -747,6 +747,26 @@ FROM media_ok
             WHERE inter > 0 AND inter * 1.0 / uni >= 0.2
             ORDER BY doc_id_a, doc_id_b
         """,
+        # MinHash-LSH candidates + exact-Jaccard verification must EQUAL
+        # the exact pair set whenever banding recalls every qualifying
+        # pair — which holds deterministically on this corpus (seed=42
+        # signatures; the recall floor is separately asserted in pytest)
+        "minhash_lsh": r"""
+            WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(generate_series(1, len(w) - 2),
+                                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+              FROM toks),
+            p AS (
+              SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                     len(list_intersect(a.g, b.g)) AS inter,
+                     len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS uni
+              FROM grams a JOIN grams b ON a.doc_id < b.doc_id)
+            SELECT doc_id_a, doc_id_b FROM p
+            WHERE inter > 0 AND inter * 1.0 / uni >= 0.2
+            ORDER BY doc_id_a, doc_id_b
+        """,
         "neardup_groups": r"""
             WITH RECURSIVE toks AS (
               SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents),
