@@ -291,15 +291,8 @@ def _q_orders_join_hash(sf_dir: str):
     )
 
     def partial(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        g = (
-            batch.to_pandas()
-            .groupby("c_mktsegment", as_index=False)
-            .size()
-            .rename(columns={"size": "n"})
-        )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        g = batch.group_by(["c_mktsegment"]).aggregate([("c_mktsegment", "count")])
+        return g.rename_columns(["c_mktsegment", "n"])
 
     from ray.data.aggregate import Sum
 

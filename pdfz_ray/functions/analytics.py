@@ -146,16 +146,20 @@ def lineitem_pricing_summary(sf_dir: str) -> "pa.Table":
     )
 
     def partial(batch: pa.Table) -> pa.Table:
+        # Arrow-native partial aggregation (no pandas round trip); an empty
+        # batch yields a typed empty table, so every block carries the same
+        # schema (round-1 emitted schema-less empties → RefBundle warnings)
         qty = pc.cast(batch.column("l_quantity"), pa.int64())
         t = pa.Table.from_arrays(
             [batch.column("l_returnflag"), batch.column("l_linestatus"), qty],
             names=["l_returnflag", "l_linestatus", "qty"],
-        ).to_pandas()
-        g = (
-            t.groupby(["l_returnflag", "l_linestatus"], as_index=False)
-            .agg(sum_qty=("qty", "sum"), n_rows=("qty", "size"))
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("qty", "count")]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty", "n_rows"]
+        )
 
     from ray.data.aggregate import Sum
 
@@ -179,36 +183,46 @@ def orders_by_nation(sf_dir: str) -> "pa.Table":
     nation = pq.read_table(
         f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
     )
-    cust_np = {
-        int(k): int(v)
-        for k, v in zip(
-            cust.column("c_custkey").to_pylist(), cust.column("c_nationkey").to_pylist()
-        )
-    }
-    nat_np = {
-        int(k): v
-        for k, v in zip(
-            nation.column("n_nationkey").to_pylist(), nation.column("n_name").to_pylist()
-        )
-    }
-    ref = ray.put((cust_np, nat_np))
+    # broadcast a sorted-key numpy lookup (searchsorted beats a Python dict
+    # map by orders of magnitude and ships as two flat arrays)
+    ck = cust.column("c_custkey").to_numpy()
+    nk = cust.column("c_nationkey").to_numpy().astype(np.int64)
+    order = np.argsort(ck)
+    ck_sorted, nk_sorted = ck[order], nk[order]
+    n_nat = int(nk.max()) + 1 if len(nk) else 1
+    ref = ray.put((ck_sorted, nk_sorted, n_nat))
 
     ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        cmap, nmap = ray.get(ref)
-        ck = pd.Series(batch.column("o_custkey").to_numpy())
-        names = ck.map(cmap).map(nmap)
-        g = names.value_counts().rename_axis("n_name").reset_index(name="n_orders")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        cks, nks, nn = ray.get(ref)
+        keys = batch.column("o_custkey").to_numpy()
+        nat = nks[np.searchsorted(cks, keys)] if len(keys) else np.zeros(0, np.int64)
+        counts = np.bincount(nat, minlength=nn)
+        nz = np.nonzero(counts)[0]
+        return pa.Table.from_arrays(
+            [pa.array(nz.astype(np.int64)), pa.array(counts[nz].astype(np.int64))],
+            names=["n_nationkey", "n"],
+        )
 
     from ray.data.aggregate import Sum
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    out = partials.groupby("n_name").aggregate(Sum("n_orders", alias_name="n_orders"))
-    return out.to_pandas()
+    agg = (
+        partials.groupby("n_nationkey")
+        .aggregate(Sum("n", alias_name="n_orders"))
+        .to_pandas()
+    )
+    # attach nation names on the (25-row) driver side
+    names = {
+        int(k): v
+        for k, v in zip(
+            nation.column("n_nationkey").to_pylist(),
+            nation.column("n_name").to_pylist(),
+        )
+    }
+    agg["n_name"] = agg["n_nationkey"].map(names)
+    return agg[["n_name", "n_orders"]]
 
 
 def events_hourly(sf_dir: str) -> "pa.Table":
@@ -220,14 +234,19 @@ def events_hourly(sf_dir: str) -> "pa.Table":
     )
 
     def partial(batch: pa.Table) -> pa.Table:
-        t = batch.to_pandas()
-        t["hour"] = t["ts"].dt.floor("h")
-        g = t.groupby(["event_type", "hour"], as_index=False).agg(
-            n_events=("value", "size"),
-            min_value=("value", "min"),
-            max_value=("value", "max"),
+        # Arrow-native window partial: floor_temporal + group_by (no pandas
+        # round trip); typed even when the batch is empty
+        hour = pc.floor_temporal(batch.column("ts"), unit="hour")
+        t = pa.Table.from_arrays(
+            [batch.column("event_type"), hour, batch.column("value")],
+            names=["event_type", "hour", "value"],
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        g = t.group_by(["event_type", "hour"]).aggregate(
+            [("value", "count"), ("value", "min"), ("value", "max")]
+        )
+        return g.rename_columns(
+            ["event_type", "hour", "n_events", "min_value", "max_value"]
+        )
 
     from ray.data.aggregate import Max, Min, Sum
 

@@ -60,22 +60,22 @@ def knn_brute(
         vids = np.asarray(batch.column("vec_id").to_pylist(), np.int64)
         m = _normalize(_to_matrix(batch))
         sims = qmat @ m.T  # (Q, B)
-        out = []
         kk = min(k + (1 if exclude_self else 0), sims.shape[1])
-        for qi in range(len(qids)):
-            s = sims[qi]
-            top = np.argpartition(-s, kk - 1)[:kk] if kk < len(s) else np.arange(len(s))
-            out.append(
-                pa.Table.from_arrays(
-                    [
-                        pa.array(np.full(len(top), qids[qi], np.int64)),
-                        pa.array(vids[top]),
-                        pa.array(s[top]),
-                    ],
-                    names=["query_id", "vec_id", "sim"],
-                )
-            )
-        return pa.concat_tables(out)
+        if kk < sims.shape[1]:
+            # one batched argpartition across all queries
+            top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]  # (Q, kk)
+        else:
+            top = np.broadcast_to(np.arange(sims.shape[1]), (len(qids), sims.shape[1]))
+        q_rep = np.repeat(qids, top.shape[1])
+        flat_top = top.ravel()
+        return pa.Table.from_arrays(
+            [
+                pa.array(q_rep),
+                pa.array(vids[flat_top]),
+                pa.array(np.take_along_axis(sims, top, axis=1).ravel()),
+            ],
+            names=["query_id", "vec_id", "sim"],
+        )
 
     cands = ds.map_batches(local_topk, batch_format="pyarrow")
     df = pa.Table.from_pylist(
