@@ -185,6 +185,32 @@ def exact_dedup(
     return main.union(side)
 
 
+def estimate_span_threshold(
+    ds: "ray.data.Dataset", quantile: float = 0.99, sample_rows: int = 20_000
+) -> int:
+    """Span-count quantile from a bounded sample (narrow limit read) — the
+    routing threshold for ``skew_threshold`` (SURVEY §7.1 M4 / §4 skew)."""
+    sample = ds.limit(sample_rows).map_batches(
+        lambda b: pa.Table.from_arrays(
+            [
+                pc.cast(
+                    pc.fill_null(pc.list_value_length(b.column("spans")), 0),
+                    pa.int64(),
+                )
+            ],
+            names=["n"],
+        ),
+        batch_format="pyarrow",
+    )
+    ns = np.array([r["n"] for r in sample.take_all()], np.int64)
+    if len(ns) == 0:
+        return 0
+    # 'lower' keeps the threshold below the monster sizes even when the
+    # monster fraction is near (1 - quantile); pick quantile safely under
+    # 1 - monster_fraction for routing to engage
+    return int(np.quantile(ns, quantile, method="lower"))
+
+
 def build_extract_pipeline(
     ds: "ray.data.Dataset",
     jobs: pa.Table | dict[str, Job] | None = None,
@@ -198,6 +224,9 @@ def build_extract_pipeline(
     ocr_model: str | None = None,
     ocr_concurrency=None,
     batch_size: int = 1024,
+    skew_threshold: int | None = None,
+    monster_batch_size: int = 16,
+    big_blocks: int = 32,
 ) -> "ray.data.Dataset":
     """documents Dataset → extraction output Dataset (lazy, streaming).
 
@@ -265,24 +294,55 @@ def build_extract_pipeline(
 
     from ..stages.engines import ocr_task
 
-    out = ds.map_batches(_extract, batch_format="pyarrow", batch_size=batch_size)
-    if ocr:
-        if ocr_concurrency is None:
-            out = out.map_batches(
-                ocr_task,
-                fn_kwargs={"engine": ocr_engine, "model": ocr_model},
-                batch_format="pyarrow",
-                batch_size=batch_size,
-            )
-        else:
-            out = out.map_batches(
-                OcrStage,
-                fn_constructor_kwargs={"engine": ocr_engine, "model": ocr_model},
-                batch_format="pyarrow",
-                batch_size=batch_size,
-                concurrency=ocr_concurrency,
-                num_cpus=1,
-            )
+    def _chain(src: "ray.data.Dataset", bsize: int) -> "ray.data.Dataset":
+        out = src.map_batches(_extract, batch_format="pyarrow", batch_size=bsize)
+        if ocr:
+            if ocr_concurrency is None:
+                out = out.map_batches(
+                    ocr_task,
+                    fn_kwargs={"engine": ocr_engine, "model": ocr_model},
+                    batch_format="pyarrow",
+                    batch_size=bsize,
+                )
+            else:
+                out = out.map_batches(
+                    OcrStage,
+                    fn_constructor_kwargs={"engine": ocr_engine, "model": ocr_model},
+                    batch_format="pyarrow",
+                    batch_size=bsize,
+                    concurrency=ocr_concurrency,
+                    num_cpus=1,
+                )
+        return out
+
+    if skew_threshold is None:
+        out = _chain(ds, batch_size)
+    else:
+        # size-bucket routing (SURVEY §7.1 M4): monster docs go to their
+        # own branch, REPARTITIONED into small blocks — Ray's task
+        # granularity is the block (measured: batch_size does not split a
+        # block across tasks), so a cluster of 100×-median docs in one
+        # input block would otherwise serialize behind a single task.
+        # The small branch stays a fused read→extract(→ocr) chain; the
+        # big-branch repartition shuffles only the (rare) monster rows.
+        # Size big_blocks ≈ cluster cores so the heavy rows spread.
+        def _route(keep_big: bool):
+            def f(b: pa.Table) -> pa.Table:
+                n = pc.fill_null(pc.list_value_length(b.column("spans")), 0)
+                mask = (
+                    pc.greater(n, skew_threshold)
+                    if keep_big
+                    else pc.less_equal(n, skew_threshold)
+                )
+                return b.filter(mask)
+
+            return f
+
+        small = ds.map_batches(_route(False), batch_format="pyarrow")
+        big = ds.map_batches(_route(True), batch_format="pyarrow").repartition(
+            big_blocks
+        )
+        out = _chain(small, batch_size).union(_chain(big, monster_batch_size))
     if winners is not None:
         side = extract_batch(winners, lookup, emit_payloads=ocr)
         if ocr:

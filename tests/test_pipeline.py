@@ -133,6 +133,97 @@ def test_resume_rejects_changed_chunking(ray_session, corpus_files, tmp_path):
     assert res3["partitions_run"] == [0, 1, 2, 3]
 
 
+def test_skew_bucketed_pipeline_correct(ray_session):
+    """Size-bucket routing (SURVEY §7.1 M4): the split → repartitioned big
+    branch → union topology is byte-identical to the oracle, and the
+    threshold estimator lands between the median and the monster sizes."""
+    import ray.data as rd
+
+    from pdfz_ray.corpus import make_document
+    from pdfz_ray.pipelines.extract_pipeline import (
+        build_extract_pipeline,
+        estimate_span_threshold,
+    )
+    from pdfz_ray.schema import DOCUMENTS_SCHEMA
+    from pdfz_ray.stages.extract import flatten_output
+
+    normal = [make_document(i) for i in range(550) if i % 11 != 9]
+    monsters = [
+        make_document(i, monster_spans=1500) for i in range(550) if i % 11 == 9
+    ][:5]
+    skew_tbl = pa.Table.from_pylist(normal + monsters, schema=DOCUMENTS_SCHEMA)
+
+    thr = estimate_span_threshold(rd.from_arrow(skew_tbl), quantile=0.95)
+    assert 4 <= thr < 1500  # between median (≈8) and monster (1500) spans
+
+    out = build_extract_pipeline(
+        rd.from_arrow(skew_tbl).repartition(4),
+        dedup=False, ocr=False,
+        skew_threshold=thr, batch_size=256, monster_batch_size=4, big_blocks=8,
+    )
+    flat = out.map_batches(flatten_output, batch_format="pyarrow")
+    got = sorted(tuple(r.values()) for r in flat.take_all())
+    want = sorted(tuple(r.values()) for r in _oracle_flat(skew_tbl))
+    assert got == want
+
+
+def test_skew_throughput_holds(ray_session, tmp_path):
+    """A parquet corpus where ~1% of docs hold ≥100× the median spans
+    (clustered at the end, worst case for row-based blocking) keeps ≥0.8
+    of the uniform corpus's spans/sec — Ray's byte-based read blocking
+    cost-balances blocks because extract cost is ∝ bytes; the routed
+    (skew_threshold) path must hold the same bar."""
+    import time
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from pdfz_ray.corpus import make_document
+    from pdfz_ray.pipelines.extract_pipeline import build_extract_pipeline
+    from pdfz_ray.schema import DOCUMENTS_SCHEMA
+    from pdfz_ray.stages.extract import flatten_output
+
+    normal = [make_document(i) for i in range(1100) if i % 11 != 9]
+    mspans = [
+        {"kind": "text", "text": f"w{k % 17} x y", "media_ref": "", "offset": k // 8 + 1}
+        for k in range(100_000)
+    ]
+    monsters = [{"doc_id": f"doc-m{j:03d}", "spans": mspans} for j in range(10)]
+    uni_tbl = pa.Table.from_pylist(normal, schema=DOCUMENTS_SCHEMA)
+    skew_tbl = pa.Table.from_pylist(normal + monsters, schema=DOCUMENTS_SCHEMA)
+
+    def write(tbl, name, nfiles=8):
+        d = tmp_path / name
+        d.mkdir()
+        per = (tbl.num_rows + nfiles - 1) // nfiles
+        paths = []
+        for i in range(nfiles):
+            p = str(d / f"f{i}.parquet")
+            pq.write_table(tbl.slice(i * per, per), p)
+            paths.append(p)
+        return paths
+
+    up, sp = write(uni_tbl, "uni"), write(skew_tbl, "skew")
+    spans = lambda t: int(pc.sum(pc.list_value_length(t.column("spans"))).as_py())  # noqa: E731
+    su, ss = spans(uni_tbl), spans(skew_tbl)
+
+    def run(paths, **kw):
+        ds = rd.read_parquet(paths)
+        t0 = time.perf_counter()
+        out = build_extract_pipeline(ds, dedup=False, ocr=False, **kw)
+        out.map_batches(flatten_output, batch_format="pyarrow").count()
+        return time.perf_counter() - t0
+
+    run(up)  # warm the worker pool
+    tu = run(up)
+    ts = run(sp)
+    tr = run(sp, skew_threshold=1000, monster_batch_size=2, big_blocks=8)
+    plain_ratio = (ss / ts) / (su / tu)
+    routed_ratio = (ss / tr) / (su / tu)
+    assert plain_ratio >= 0.8, f"plain skew ratio {plain_ratio:.2f}"
+    assert routed_ratio >= 0.8, f"routed skew ratio {routed_ratio:.2f}"
+
+
 def _interleave_row_loop_ref(ids, texts):
     """Row-loop reference for interleave_documents (the round-1 impl) —
     pins the vectorized offset-arithmetic version bit-for-bit."""
