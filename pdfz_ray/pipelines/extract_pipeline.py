@@ -227,8 +227,14 @@ def build_extract_pipeline(
     skew_threshold: int | None = None,
     monster_batch_size: int = 16,
     big_blocks: int = 32,
+    metrics: str | None = None,
 ) -> "ray.data.Dataset":
     """documents Dataset → extraction output Dataset (lazy, streaming).
+
+    ``metrics``: name of a live MetricsActor (state/metrics.py) — the
+    extract stage then flushes ONE fire-and-forget counter call per batch
+    (docs/pages/failures), pollable mid-run via ``live_progress``. The
+    reference polled per-page Redis writes for the same surface (G2).
 
     ``exclude_ids``: doc_ids owned by another partition (cross-partition
     dedup, see ``run_partitioned``) — dropped before any work.
@@ -288,9 +294,25 @@ def build_extract_pipeline(
     lookup = jobs if isinstance(jobs, dict) else jobs_table_to_lookup(jobs)
     jobs_ref = ray.put(lookup) if lookup else None
 
+    def _report_metrics(out: pa.Table) -> None:
+        # one fire-and-forget flush per BATCH (pre-aggregated), never per
+        # row/page — SURVEY §4 progress row
+        if metrics is not None and out.num_rows:
+            from ..state.metrics import metrics_handle
+
+            metrics_handle(metrics).report.remote(
+                docs=out.num_rows,
+                pages=int(pc.sum(out.column("pages")).as_py() or 0),
+                decode_failures=int(
+                    pc.sum(out.column("decode_failures")).as_py() or 0
+                ),
+            )
+
     def _extract(batch: pa.Table) -> pa.Table:
         j = ray.get(jobs_ref) if jobs_ref is not None else {}
-        return extract_batch(batch, j, emit_payloads=ocr)
+        out = extract_batch(batch, j, emit_payloads=ocr)
+        _report_metrics(out)
+        return out
 
     from ..stages.engines import ocr_task
 
@@ -347,6 +369,7 @@ def build_extract_pipeline(
         side = extract_batch(winners, lookup, emit_payloads=ocr)
         if ocr:
             side = ocr_task(side, engine=ocr_engine, model=ocr_model)
+        _report_metrics(side)  # winner rows bypass the streamed stage
         out = out.union(ray.data.from_arrow(side))
     return out
 
@@ -393,6 +416,15 @@ def run_partitioned(
         for pid, row in manifest.completed().items():
             if row.get("files_md5", chunk_md5.get(pid)) == chunk_md5.get(pid):
                 done.add(pid)
+    metrics_name = pipeline_kw.get("metrics")
+    metrics_actor = None
+    if metrics_name:
+        from ..state.metrics import get_metrics_actor
+
+        metrics_actor = get_metrics_actor(metrics_name)
+        ray.get(metrics_actor.set_gauge.remote(partitions_total=len(chunks)))
+        if done:
+            ray.get(metrics_actor.report.remote(partitions_done=len(done)))
     dedup = pipeline_kw.get("dedup", True)
     exclude: dict[int, set] = {}
     chunk_dups: dict[int, set] = {}
@@ -435,6 +467,8 @@ def run_partitioned(
         metrics["wall_s"] = round(wall, 4)
         metrics["files_md5"] = chunk_md5[pid]
         manifest.commit(pid, metrics)
+        if metrics_actor is not None:
+            metrics_actor.report.remote(partitions_done=1)
         ran.append(pid)
     return {
         "out_dir": out_dir,

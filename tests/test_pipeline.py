@@ -133,6 +133,67 @@ def test_resume_rejects_changed_chunking(ray_session, corpus_files, tmp_path):
     assert res3["partitions_run"] == [0, 1, 2, 3]
 
 
+def test_live_metrics_mid_run(ray_session, tmp_path):
+    """G2 live path: per-batch counter flushes to the named metrics actor
+    are pollable WHILE run_partitioned is in flight, increase
+    monotonically, and converge to the manifest's exact lineage."""
+    import json
+    import threading
+    import time
+
+    from pdfz_ray.corpus import make_documents
+    from pdfz_ray.pipelines.extract_pipeline import run_partitioned
+    from pdfz_ray.state.metrics import get_metrics_actor, live_progress
+
+    tbl = make_documents(1600)
+    d = tmp_path / "in"
+    d.mkdir()
+    per = (tbl.num_rows + 7) // 8
+    paths = []
+    for i in range(8):
+        p = str(d / f"f{i}.parquet")
+        pq.write_table(tbl.slice(i * per, per), p)
+        paths.append(p)
+
+    name = "pdfz_metrics_test"
+    # hold the handle for the test's lifetime — a named non-detached actor
+    # is collected once its last handle drops
+    actor = get_metrics_actor(name)  # noqa: F841
+    res: dict = {}
+
+    def go():
+        res["r"] = run_partitioned(
+            paths, str(tmp_path / "out"), partition_size=1, ocr=False,
+            metrics=name,
+        )
+
+    th = threading.Thread(target=go)
+    th.start()
+    seen = []
+    while th.is_alive():
+        s = live_progress(name)
+        if s.get("docs"):
+            seen.append(s["docs"])
+        time.sleep(0.05)
+    th.join()
+    # fire-and-forget flushes may still be in flight right after join
+    final = live_progress(name)
+    for _ in range(100):
+        time.sleep(0.05)
+        nxt = live_progress(name)
+        if nxt == final:
+            break
+        final = nxt
+
+    assert final["partitions_total"] == 8
+    assert final["partitions_done"] == 8
+    assert seen == sorted(seen), "mid-run counters must be monotone"
+    assert seen and seen[0] < final["docs"], "no mid-run snapshot observed"
+    rows = [json.loads(line) for line in open(res["r"]["manifest"])]
+    assert final["docs"] == sum(r["docs"] for r in rows)
+    assert final["pages"] == sum(r["pages"] for r in rows)
+
+
 def test_skew_bucketed_pipeline_correct(ray_session):
     """Size-bucket routing (SURVEY §7.1 M4): the split → repartitioned big
     branch → union topology is byte-identical to the oracle, and the
