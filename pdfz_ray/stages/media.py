@@ -153,7 +153,7 @@ def frame_sample_batch(batch: pa.Table, stride: int = FRAME_BYTES) -> pa.Table:
     )
 
 
-def decode_real_image(payload: bytes):  # pragma: no cover - no codecs in CI
+def decode_real_image(payload: bytes):
     """True image decode — requires PIL, which this container may lack.
 
     Kept as the explicit extension point for real deployments; the
@@ -166,3 +166,24 @@ def decode_real_image(payload: bytes):  # pragma: no cover - no codecs in CI
     import PIL.Image as Image
 
     return Image.open(io.BytesIO(payload))
+
+
+def decode_real_to_png(payload: bytes, rotate90: bool = False) -> tuple:
+    """Reference-shaped real decode (extractor/src/engine/mod.rs:142-162):
+    decode the compressed payload, convert to RGBA, optionally rotate90
+    (the FlateDecode path swaps dims), re-encode as PNG. Returns
+    ``(png_bytes, out_width, out_height)``. PIL-gated like
+    ``decode_real_image``; covered by a skip-if-absent test."""
+    if not _HAS_PIL:
+        raise NotImplementedError("image codecs unavailable in this environment")
+    import io
+
+    import PIL.Image as Image
+
+    img = Image.open(io.BytesIO(payload)).convert("RGBA")
+    if rotate90:
+        # reference rotate90() turns the image clockwise; dims swap
+        img = img.transpose(Image.Transpose.ROTATE_270)
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    return buf.getvalue(), img.width, img.height
