@@ -171,6 +171,57 @@ def run_bench(sf_dir: str, num_cpus: int, n_docs: int, replicas: int) -> dict:
     timed("lineitem_pricing", lambda: lineitem_pricing_summary(sf_dir))
     timed("events_hourly", lambda: events_hourly(sf_dir))
 
+    # 6) content-key kernels (round-1 perf-weak set, now vectorized)
+    from pdfz_ray.functions.dedup import SimHasher
+    from pdfz_ray.functions.text import fingerprint_batch, winnow_batch
+
+    timed(
+        "fingerprint",
+        lambda: _docs().map_batches(fingerprint_batch, batch_format="pyarrow").count(),
+    )
+    timed(
+        "winnow",
+        lambda: _docs().map_batches(winnow_batch, batch_format="pyarrow").count(),
+    )
+    timed(
+        "simhash_sign",
+        lambda: _docs().map_batches(SimHasher, batch_format="pyarrow",
+                                    concurrency=(1, 4)).count(),
+    )
+
+    # kernel-level speedup: vectorized mod-2^64 poly hash vs the round-1
+    # per-byte Python loop (mod 2^61-1), same normalized input, driver-side
+    def _kernel_speedup() -> float:
+        import pyarrow.compute as pcc
+        import pyarrow.parquet as pq
+
+        from pdfz_ray.functions.text import poly64_array
+
+        t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+        t = pa.concat_tables([t] * 8)  # amortize fixed numpy overheads
+        low = pcc.utf8_lower(t.column("text"))
+        norm = pcc.replace_substring_regex(
+            low, pattern=r"\s+", replacement=" "
+        ).combine_chunks()
+
+        def loop_r1(s: str, base: int = 1_000_003, mod: int = (1 << 61) - 1) -> int:
+            h = 0
+            for ch in s.encode():
+                h = (h * base + ch) % mod
+            return h
+
+        poly64_array(norm)  # warm page allocations
+        t0 = time.perf_counter()
+        poly64_array(norm)
+        vec = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for s in norm.to_pylist():
+            loop_r1(s)
+        loop = time.perf_counter() - t0
+        return round(loop / vec, 1)
+
+    kernel_speedup = _kernel_speedup()
+
     ray.shutdown()
 
     total = round(sum(timings.values()), 3)
@@ -186,6 +237,7 @@ def run_bench(sf_dir: str, num_cpus: int, n_docs: int, replicas: int) -> dict:
         "pages": pages,
         "docs_per_sec": round(docs_done / timings["extract"], 2),
         "pages_per_sec": round(pages / timings["extract"], 2),
+        "poly64_kernel_speedup_vs_r1_loop": kernel_speedup,
     }
 
 

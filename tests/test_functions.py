@@ -48,6 +48,21 @@ def test_minhash_lsh_vs_exact(docs_ds):
         assert len(lsh) / len(exact) >= 0.8  # banding recall
 
 
+def test_verify_pairs_join_path_matches_broadcast(docs_ds):
+    """The two physical verification plans (broadcast blobs vs two
+    hash-partitioned joins) must produce identical verified pair sets."""
+    from pdfz_ray.functions.dedup import _verify_pairs_jaccard, ngram_jaccard_pairs
+
+    exact = ngram_jaccard_pairs(docs_ds, threshold=0.2)
+    pairs = exact.select(["doc_id_a", "doc_id_b"])
+    bcast = _verify_pairs_jaccard(docs_ds, pairs, 0.2, 3)
+    joined = _verify_pairs_jaccard(docs_ds, pairs, 0.2, 3, broadcast_limit=0)
+    key = lambda t: sorted(  # noqa: E731
+        zip(t.column("doc_id_a").to_pylist(), t.column("doc_id_b").to_pylist())
+    )
+    assert key(bcast) == key(joined) == key(pairs)
+
+
 def test_simhash_pairs_are_near(docs_ds):
     from pdfz_ray.functions.dedup import SimHasher, simhash_pairs
 
