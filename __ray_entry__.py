@@ -270,6 +270,28 @@ def _q_neardup_groups(sf_dir: str):
     return neardup_groups(pairs)
 
 
+def _q_neardup_groups_dist(sf_dir: str):
+    """Same clusters via data-plane min-label propagation (the graph-scale
+    path: labels/edges stay sharded, driver sees convergence scalars)."""
+    from pdfz_ray.functions.dedup import (
+        neardup_groups_distributed,
+        ngram_jaccard_pairs,
+    )
+
+    pairs = ngram_jaccard_pairs(_docs_table(sf_dir), threshold=0.2)
+    return neardup_groups_distributed(pairs)
+
+
+def _q_split_assign(sf_dir: str):
+    """Deterministic content-hash train/val/test split (leakage-safe)."""
+    from pdfz_ray.functions.text import split_assign_batch
+
+    out = _docs_table(sf_dir).map_batches(
+        split_assign_batch, batch_format="pyarrow"
+    )
+    return out.select_columns(["doc_id", "split"])
+
+
 def _q_orders_join_hash(sf_dir: str):
     """Hash-partitioned Dataset.join (both sides large path): orders ⨝
     customer, rolled up per market segment — the shuffle-join twin of the
@@ -448,6 +470,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": _q_simhash,
         "embedding_neardup": _q_embedding_neardup,
         "neardup_groups": _q_neardup_groups,
+        "neardup_groups_dist": _q_neardup_groups_dist,
+        "split_assign": _q_split_assign,
         # similarity search
         "knn_brute": _q_knn_brute,
         "knn_lsh": _q_knn_lsh,
@@ -558,7 +582,7 @@ SELECT doc_id, CAST(page_num AS INTEGER) AS page_num, media_ref,
 FROM media_ok
 """
     )
-    return {
+    sqls = {
         "extract_flat": extract_flat,
         "extract_windowed": extract_windowed,
         "ocr_spans": ocr_spans,
@@ -783,6 +807,15 @@ FROM media_ok
             SELECT node AS doc_id, min(label) AS group_id
             FROM reach GROUP BY node
         """,
+        # deterministic content-hash split: first 16 bits of md5(text);
+        # lexicographic compare of 4 lowercase hex chars == numeric compare
+        "split_assign": """
+            SELECT doc_id,
+                   CASE WHEN substr(md5(text), 1, 4) < 'cccc' THEN 'train'
+                        WHEN substr(md5(text), 1, 4) < 'e666' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        """,
         "orders_by_segment_hashjoin": """
             SELECT c_mktsegment, count(*) AS n_orders
             FROM orders JOIN customer ON o_custkey = c_custkey
@@ -872,3 +905,6 @@ FROM media_ok
             FROM events GROUP BY event_type, date_trunc('hour', ts)
         """,
     }
+    # the distributed label-propagation variant must equal the union-find result
+    sqls["neardup_groups_dist"] = sqls["neardup_groups"]
+    return sqls

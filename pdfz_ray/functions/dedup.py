@@ -520,6 +520,85 @@ def simhash_pairs(ds: "ray.data.Dataset", max_hamming: int = 3) -> pa.Table:
     return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
 
 
+def neardup_groups_distributed(
+    pairs: pa.Table, max_iters: int = 50, num_partitions: int = 4
+) -> pa.Table:
+    """Connected components in the DATA PLANE: iterative min-label
+    propagation — edges exploded both ways, labels joined onto edge
+    endpoints, groupby(node).min(label), repeat to fixpoint. The driver
+    holds only per-iteration convergence scalars; labels and edges stay
+    sharded, so this is the shape that scales to graph-sized near-dup sets
+    (the driver union-find in ``neardup_groups`` is the small-pairs fast
+    path). Hop count is bounded by component diameter; ``max_iters`` is a
+    safety valve.
+    """
+    a = pairs.column("doc_id_a").to_numpy()
+    b = pairs.column("doc_id_b").to_numpy()
+    if len(a) == 0:
+        return pa.Table.from_arrays(
+            [pa.array([], pa.int64()), pa.array([], pa.int64())],
+            names=["doc_id", "group_id"],
+        )
+    edges_tbl = pa.Table.from_arrays(
+        [
+            pa.array(np.concatenate([a, b])),
+            pa.array(np.concatenate([b, a])),
+        ],
+        names=["node", "nbr"],
+    )
+    edges = ray.data.from_arrow(edges_tbl)
+    nodes = np.unique(np.concatenate([a, b]))
+    labels = ray.data.from_arrow(
+        pa.Table.from_arrays([pa.array(nodes), pa.array(nodes)],
+                             names=["node", "label"])
+    )
+    from ray.data.aggregate import Min
+
+    prev_sum = None
+    for _ in range(max_iters):
+        # ship each node's current label to its neighbors via the edge list
+        nbr_labels = edges.join(
+            labels,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("node",),
+        ).map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t.column("nbr"), t.column("label")], names=["node", "label"]
+            ),
+            batch_format="pyarrow",
+        )
+        # repartition after the aggregate: groupby can emit schema-less
+        # empty blocks that break the NEXT iteration's hash join (the
+        # empty blocks bypass map_batches, so they can't be re-typed);
+        # coalescing into num_partitions blocks drops them
+        new_labels = (
+            labels.union(nbr_labels)
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .repartition(num_partitions)
+            .materialize()
+        )
+        s = sum(
+            r["label"]
+            for r in new_labels.map_batches(
+                lambda t: pa.Table.from_pydict(
+                    {"label": [int(pc.sum(t.column("label")).as_py() or 0)]}
+                ),
+                batch_format="pyarrow",
+            ).take_all()
+        )
+        labels = new_labels
+        if s == prev_sum:  # labels are monotone non-increasing ints
+            break
+        prev_sum = s
+    out = pa.Table.from_pylist(
+        labels.take_all(),
+        schema=pa.schema([("node", pa.int64()), ("label", pa.int64())]),
+    ).rename_columns(["doc_id", "group_id"])
+    return out.take(pa.array(np.argsort(out.column("doc_id").to_numpy())))
+
+
 def neardup_groups(pairs: pa.Table) -> pa.Table:
     """Connected components over near-dup pairs → (doc_id, group_id) with
     group_id = min doc_id of the component.

@@ -334,6 +334,35 @@ def winnow_batch(batch: pa.Table, k: int = 5, w: int = 4) -> pa.Table:
     )
 
 
+SPLIT_NAMES = ("train", "val", "test")
+
+
+def split_assign_batch(
+    batch: pa.Table, train_pct: int = 80, val_pct: int = 10
+) -> pa.Table:
+    """Deterministic train/val/test assignment by content hash — the
+    leakage-safe split for training-data pipelines (same text → same split
+    on every run, machine, and cluster size; near-dup aware splits compose
+    this with a dedup group_id). Bucket = first 16 bits of md5(text);
+    SQL-exact via lexicographic comparison of the first 4 hex chars."""
+    texts = batch.column("text").to_pylist()
+    bounds = (
+        (train_pct * 65536) // 100,
+        ((train_pct + val_pct) * 65536) // 100,
+    )
+    buckets = np.array(
+        [int(hashlib.md5((t or "").encode()).hexdigest()[:4], 16) for t in texts],
+        np.int64,
+    )
+    split = np.where(
+        buckets < bounds[0], "train", np.where(buckets < bounds[1], "val", "test")
+    )
+    return pa.Table.from_arrays(
+        [batch.column("doc_id"), pa.array(split), pa.array(buckets)],
+        names=["doc_id", "split", "bucket"],
+    )
+
+
 def token_count_batch(batch: pa.Table) -> pa.Table:
     """Whitespace token count + a BPE-ish subword count (regex pieces:
     word chunks of <=4 chars, digits, punctuation singles)."""

@@ -164,6 +164,63 @@ def test_normalize_unicode_whitespace_matches_duckdb(ray_session):
     assert stats["n_stopwords"] == [r[0] for r in want_stop]
 
 
+def test_neardup_groups_distributed_matches_union_find(ray_session):
+    """Data-plane min-label propagation == driver union-find, including
+    chains (diameter > 1), triangles, and singleton-free edge sets."""
+    import random
+
+    from pdfz_ray.functions.dedup import neardup_groups, neardup_groups_distributed
+
+    random.seed(3)
+    cases = [
+        [(1, 2), (2, 3), (3, 4), (10, 11)],          # chain + island
+        [(5, 6), (6, 7), (5, 7), (8, 9)],            # triangle
+        [(i, i + 1) for i in range(20)],             # long chain
+    ]
+    cases.append(
+        [(random.randint(0, 30), random.randint(31, 60)) for _ in range(40)]
+    )
+    for edges in cases:
+        pairs = pa.Table.from_pydict(
+            {
+                "doc_id_a": pa.array([a for a, _ in edges], pa.int64()),
+                "doc_id_b": pa.array([b for _, b in edges], pa.int64()),
+            }
+        )
+        want = sorted(
+            (r["doc_id"], r["group_id"]) for r in neardup_groups(pairs).to_pylist()
+        )
+        got = sorted(
+            (r["doc_id"], r["group_id"])
+            for r in neardup_groups_distributed(pairs).to_pylist()
+        )
+        assert got == want, edges
+
+
+def test_split_assign_deterministic(docs_ds):
+    import duckdb
+
+    from pdfz_ray.functions.text import split_assign_batch
+
+    out = docs_ds.map_batches(split_assign_batch, batch_format="pyarrow").to_pandas()
+    assert set(out["split"]) <= {"train", "val", "test"}
+    # bucket bound consistency
+    assert (out.loc[out.split == "train", "bucket"] < 52428).all()
+    # SQL twin agreement (lexicographic hex == numeric on first 16 bits)
+    want = duckdb.sql(
+        f"""SELECT doc_id,
+              CASE WHEN substr(md5(text),1,4) < 'cccc' THEN 'train'
+                   WHEN substr(md5(text),1,4) < 'e666' THEN 'val'
+                   ELSE 'test' END AS split
+            FROM read_parquet('{SF}/documents.parquet')"""
+    ).df()
+    merged = out.merge(want, on="doc_id", suffixes=("", "_sql"))
+    assert (merged["split"] == merged["split_sql"]).all()
+    # roughly proportional (seeded corpus; loose bounds)
+    frac = (out["split"] == "train").mean()
+    assert 0.7 < frac < 0.9
+
+
 def test_text_stats_and_quality(docs_ds):
     from pdfz_ray.functions.text import quality_filter_batch, text_stats_batch
 
