@@ -172,7 +172,7 @@ def run_bench(sf_dir: str, num_cpus: int, n_docs: int, replicas: int) -> dict:
     timed("events_hourly", lambda: events_hourly(sf_dir))
 
     # 6) content-key kernels (round-1 perf-weak set, now vectorized)
-    from pdfz_ray.functions.dedup import SimHasher
+    from pdfz_ray.functions.dedup import simhash_sign_task
     from pdfz_ray.functions.text import fingerprint_batch, winnow_batch
 
     timed(
@@ -185,8 +185,7 @@ def run_bench(sf_dir: str, num_cpus: int, n_docs: int, replicas: int) -> dict:
     )
     timed(
         "simhash_sign",
-        lambda: _docs().map_batches(SimHasher, batch_format="pyarrow",
-                                    concurrency=(1, 4)).count(),
+        lambda: _docs().map_batches(simhash_sign_task, batch_format="pyarrow").count(),
     )
 
     # kernel-level speedup: vectorized mod-2^64 poly hash vs the round-1

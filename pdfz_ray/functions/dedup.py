@@ -204,6 +204,32 @@ class MinHasher:
         )
 
 
+# per-worker signer cache: signing is cheap state (a few KB of hash
+# coefficients), so it runs as stateless TASKS with a cached constructor —
+# an actor pool here would fuse the upstream read into the pool and cap
+# pipeline parallelism at the pool size (measured in round 1, see engines)
+_SIGNER_CACHE: dict = {}
+
+
+def minhash_sign_task(
+    batch: pa.Table, *, num_perm: int = 64, ngram: int = 3, seed: int = 42
+) -> pa.Table:
+    key = ("minhash", num_perm, ngram, seed)
+    signer = _SIGNER_CACHE.get(key)
+    if signer is None:
+        signer = MinHasher(num_perm=num_perm, ngram=ngram, seed=seed)
+        _SIGNER_CACHE[key] = signer
+    return signer(batch)
+
+
+def simhash_sign_task(batch: pa.Table) -> pa.Table:
+    signer = _SIGNER_CACHE.get("simhash")
+    if signer is None:
+        signer = SimHasher()
+        _SIGNER_CACHE["simhash"] = signer
+    return signer(batch)
+
+
 def minhash_lsh_pairs(
     ds: "ray.data.Dataset",
     threshold: float = 0.5,
@@ -221,10 +247,9 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_perm // bands
     signed = ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs={"num_perm": num_perm, "ngram": ngram},
+        minhash_sign_task,
+        fn_kwargs={"num_perm": num_perm, "ngram": ngram},
         batch_format="pyarrow",
-        concurrency=(1, 4),
     )
 
     def explode_bands(batch: pa.Table) -> pa.Table:
@@ -472,9 +497,7 @@ def simhash_pairs(ds: "ray.data.Dataset", max_hamming: int = 3) -> pa.Table:
     """Near-dup pairs by SimHash banding (4×16-bit chunks → bucket groupby →
     Hamming verification). A pair within Hamming distance 3 shares at least
     one exact 16-bit chunk (pigeonhole), so banding has full recall."""
-    signed = ds.map_batches(
-        SimHasher, batch_format="pyarrow", concurrency=(1, 4)
-    )
+    signed = ds.map_batches(simhash_sign_task, batch_format="pyarrow")
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch.column("doc_id").to_pylist(), np.int64)
