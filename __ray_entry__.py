@@ -422,6 +422,12 @@ def _q_frame_sample(sf_dir: str):
     )
 
 
+def _q_top_terms(sf_dir: str):
+    from pdfz_ray.functions.analytics import top_terms
+
+    return top_terms(sf_dir, k=20)
+
+
 def _q_lineitem_pricing(sf_dir: str):
     from pdfz_ray.functions.analytics import lineitem_pricing_summary
 
@@ -487,6 +493,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing
         "frame_sample": _q_frame_sample,
         # wide-op analytics (TPC-H-ish tables)
+        "top_terms": _q_top_terms,
         "lineitem_pricing": _q_lineitem_pricing,
         "orders_by_nation": _q_orders_by_nation,
         "events_hourly": _q_events_hourly,
@@ -884,6 +891,13 @@ FROM media_ok
                    CAST(octet_length(payload) AS BIGINT) AS n_bytes,
                    CAST(ceil(octet_length(payload) / 1024.0) AS BIGINT) AS n_frames
             FROM {_MEDIA_SRC}
+        """,
+        "top_terms": r"""
+            WITH t AS (
+              SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS term
+              FROM documents)
+            SELECT term, count(*) AS n FROM t
+            GROUP BY term ORDER BY n DESC, term LIMIT 20
         """,
         "lineitem_pricing": """
             SELECT l_returnflag, l_linestatus,

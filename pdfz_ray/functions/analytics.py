@@ -259,6 +259,34 @@ def events_hourly(sf_dir: str) -> "pa.Table":
     return out.to_pandas()
 
 
+def top_terms(sf_dir: str, k: int = 20) -> "pa.Table":
+    """Corpus-wide top-k term frequencies — the classic wide aggregation
+    with per-batch pre-aggregation: every batch emits (term, n) partials
+    via one np.unique, so the groupby shuffles distinct-term partials
+    (bounded by per-block vocabulary), never token streams. Final top-k
+    sorts the (small) term table on the driver. Tokens = RE2 \\S+ over
+    lowercased text, matching the SQL twin exactly."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(batch.column("text"))
+        toks = pc.split_pattern_regex(low, pattern=r"\s+")
+        flat = toks.combine_chunks().flatten() if batch.num_rows else pa.array([], pa.string())
+        flat = flat.filter(pc.not_equal(flat, ""))  # split artifacts ≠ \S+ matches
+        terms, counts = np.unique(np.asarray(flat), return_counts=True)
+        return pa.Table.from_arrays(
+            [pa.array(terms.astype(object), pa.string()), pa.array(counts.astype(np.int64))],
+            names=["term", "n"],
+        )
+
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    agg = partials.groupby("term").aggregate(Sum("n", alias_name="n")).to_pandas()
+    agg = agg.sort_values(["n", "term"], ascending=[False, True]).head(k)
+    return agg.reset_index(drop=True)
+
+
 def lang_distribution(sf_dir: str) -> "pa.Table":
     """documents lang → count (groupby over a pruned single column)."""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])

@@ -123,3 +123,38 @@ def test_progress_normal_and_corrupt():
     # page_count=2 → limit 2, processed kept pages {2,3}, last=3 → 150
     rows3 = doc_progress_batch(tbl, {"d": Job(start_page=3, page_count=2)}).to_pylist()
     assert rows3[0]["final_progress"] == 150
+
+
+def test_read_documents_json_roundtrip(ray_session, tmp_path):
+    """S1 alternate format: JSON rows read into the same schema."""
+    import json as _json
+
+    from pdfz_ray.corpus import make_document
+    from pdfz_ray.schema import DOCUMENTS_SCHEMA
+    from pdfz_ray.sources.readers import read_documents
+
+    rows = [make_document(i) for i in range(6)]
+    p = tmp_path / "docs.json"
+    with open(p, "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+    ds = read_documents(str(p), fmt="json")
+    got = ds.take_all()
+    assert len(got) == 6
+    assert ds.schema().names == list(DOCUMENTS_SCHEMA.names)
+    assert sorted(r["doc_id"] for r in got) == sorted(r["doc_id"] for r in rows)
+
+
+def test_read_documents_lance_gate():
+    """The lance branch is import-gated: absent package → clear
+    NotImplementedError (the documented extension point), never a crash."""
+    import pytest
+
+    from pdfz_ray.sources import readers
+
+    if readers._HAS_LANCE:
+        pytest.skip("lance present; gate branch not reachable")
+    with pytest.raises(NotImplementedError):
+        readers.read_documents("/tmp/nonexistent.lance", fmt="lance")
+    with pytest.raises(ValueError):
+        readers.read_documents("/tmp/x", fmt="bogus")
