@@ -376,6 +376,12 @@ def _q_top_users(sf_dir: str):
     return top_users_by_type(sf_dir, k=3)
 
 
+def _q_asof_join(sf_dir: str):
+    from pdfz_ray.functions.windows import asof_join_events
+
+    return asof_join_events(sf_dir, left_type="click", right_type="view")
+
+
 def _q_approx_distinct_users(sf_dir: str):
     from pdfz_ray.functions.windows import approx_distinct_users_by_type
 
@@ -486,6 +492,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_event_counts": _q_running_event_counts,
         "distinct_users_by_type": _q_distinct_users,
         "top_users_by_type": _q_top_users,
+        "asof_join": _q_asof_join,
         "approx_distinct_users": _q_approx_distinct_users,
         # joins
         "customers_without_orders": _q_customers_without_orders,
@@ -880,6 +887,20 @@ FROM media_ok
             SELECT event_type, user_id, CAST(n_events AS BIGINT) AS n_events,
                    CAST(rnk AS BIGINT) AS rank
             FROM r WHERE rnk <= 3
+        """,
+        # native DuckDB ASOF JOIN as the oracle for the composed
+        # groupby+searchsorted implementation
+        "asof_join": """
+            WITH v AS (
+              SELECT user_id, ts, max(event_id) AS matched_event_id
+              FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+            c AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'click')
+            SELECT c.event_id, c.user_id, c.ts,
+                   v.matched_event_id, v.ts AS matched_ts
+            FROM c ASOF JOIN v
+              ON c.user_id = v.user_id AND c.ts >= v.ts
         """,
         "customers_without_orders": """
             SELECT c_custkey, c_name FROM customer

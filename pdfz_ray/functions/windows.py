@@ -115,6 +115,67 @@ def top_users_by_type(sf_dir: str, k: int = 3) -> pd.DataFrame:
     return counts.groupby("event_type").map_groups(topk, batch_format="pandas").to_pandas()
 
 
+def asof_join_events(
+    sf_dir: str, left_type: str = "click", right_type: str = "view"
+) -> pd.DataFrame:
+    """AS-OF join (an operator Ray Data lacks natively): each left-type
+    event matches the same user's most recent right-type event at or
+    before its timestamp. Expressed as one hash shuffle on user_id +
+    a vectorized searchsorted merge per group — the composition path
+    (map_batches filter → groupby → map_groups) rather than a raw-actor
+    implementation. Partitioning assumption: one group holds one user's
+    complete history (guaranteed by the hash shuffle); at 100 TB the key
+    becomes hash(user) % B buckets, same code shape.
+
+    Right side is made unique per (user_id, ts) by max event_id so the
+    match is deterministic; left events with no prior right event drop
+    (inner as-of, mirroring DuckDB's ASOF JOIN oracle)."""
+    import numpy as np
+
+    ds = _events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+    both = ds.map_batches(
+        lambda t: t.filter(
+            pa.compute.is_in(
+                t.column("event_type"),
+                value_set=pa.array([left_type, right_type]),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g.event_type == left_type]
+        right = g[g.event_type == right_type]
+        if left.empty or right.empty:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "user_id": pd.Series([], dtype="int64"),
+                    "ts": pd.Series([], dtype="datetime64[us]"),
+                    "matched_event_id": pd.Series([], dtype="int64"),
+                    "matched_ts": pd.Series([], dtype="datetime64[us]"),
+                }
+            )
+        # unique right rows per ts (keep max event_id), ascending ts
+        right = (
+            right.sort_values(["ts", "event_id"])
+            .groupby("ts", as_index=False)
+            .last()
+            .sort_values("ts")
+        )
+        rts = right["ts"].to_numpy()
+        lts = left["ts"].to_numpy()
+        idx = np.searchsorted(rts, lts, side="right") - 1
+        ok = idx >= 0
+        out = left.loc[ok, ["event_id", "user_id", "ts"]].copy()
+        out["matched_event_id"] = right["event_id"].to_numpy()[idx[ok]]
+        out["matched_ts"] = rts[idx[ok]]
+        return out
+
+    out = both.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return out.to_pandas()
+
+
 class HyperLogLog:
     """Minimal HLL sketch (2^p registers, 64-bit hashes) — the mergeable-
     sketch pattern: one sketch per batch, merged in a tiny reduce."""

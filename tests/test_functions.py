@@ -332,3 +332,31 @@ def test_winnow_batch_shape(docs_ds):
     out = docs_ds.map_batches(winnow_batch, batch_format="pyarrow").to_pandas()
     assert (out["n_fingerprints"] > 0).all()
     assert out["fingerprints"].map(len).equals(out["n_fingerprints"].astype(object).map(int))
+
+
+def test_asof_join_semantics(ray_session):
+    """As-of join: every match is the user's latest right-type event at or
+    before the left event; left events with no prior right event drop."""
+    import pandas as pd
+
+    from pdfz_ray.functions.windows import asof_join_events
+
+    out = asof_join_events(SF, left_type="click", right_type="view")
+    assert (out["matched_ts"] <= out["ts"]).all()
+    # spot-verify against a pandas merge_asof per user
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "event_type"])
+    clicks = ev[ev.event_type == "click"].sort_values("ts")
+    views = (
+        ev[ev.event_type == "view"]
+        .sort_values(["ts", "event_id"])
+        .groupby(["user_id", "ts"], as_index=False).last()
+        .sort_values("ts")
+    )
+    want = pd.merge_asof(clicks, views, on="ts", by="user_id",
+                         direction="backward", suffixes=("", "_v"))
+    want = want.dropna(subset=["event_id_v"])
+    got = out.sort_values("event_id").reset_index(drop=True)
+    want = want.sort_values("event_id").reset_index(drop=True)
+    assert got["event_id"].tolist() == want["event_id"].tolist()
+    assert got["matched_event_id"].tolist() == want["event_id_v"].astype(int).tolist()
