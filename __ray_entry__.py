@@ -382,6 +382,18 @@ def _q_asof_join(sf_dir: str):
     return asof_join_events(sf_dir, left_type="click", right_type="view")
 
 
+def _q_sliding_counts(sf_dir: str):
+    from pdfz_ray.functions.windows import sliding_event_counts
+
+    return sliding_event_counts(sf_dir, window_minutes=60, slide_minutes=15)
+
+
+def _q_price_bands(sf_dir: str):
+    from pdfz_ray.functions.windows import orders_price_bands
+
+    return orders_price_bands(sf_dir)
+
+
 def _q_approx_distinct_users(sf_dir: str):
     from pdfz_ray.functions.windows import approx_distinct_users_by_type
 
@@ -493,6 +505,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_by_type": _q_distinct_users,
         "top_users_by_type": _q_top_users,
         "asof_join": _q_asof_join,
+        "sliding_event_counts": _q_sliding_counts,
+        "orders_price_bands": _q_price_bands,
         "approx_distinct_users": _q_approx_distinct_users,
         # joins
         "customers_without_orders": _q_customers_without_orders,
@@ -887,6 +901,27 @@ FROM media_ok
             SELECT event_type, user_id, CAST(n_events AS BIGINT) AS n_events,
                    CAST(rnk AS BIGINT) AS rank
             FROM r WHERE rnk <= 3
+        """,
+        # sliding 60-min windows every 15 min: event → its 4 covering
+        # window starts (same explode formula on both sides)
+        "sliding_event_counts": """
+            WITH w AS (
+              SELECT event_type,
+                     time_bucket(INTERVAL 15 MINUTE, ts)
+                       - to_minutes(15 * k.k) AS window_start
+              FROM events, (SELECT unnest([0, 1, 2, 3]) AS k) k)
+            SELECT event_type, window_start, count(*) AS n_events
+            FROM w GROUP BY event_type, window_start
+        """,
+        # range join vs a static band table (lo <= price < hi)
+        "orders_price_bands": """
+            WITH bands(band_id, band_lo, band_hi) AS (VALUES
+              (0, 0, 50000), (1, 50000, 100000),
+              (2, 100000, 200000), (3, 200000, 400000))
+            SELECT band_id, band_lo, band_hi, count(*) AS n_orders
+            FROM orders JOIN bands
+              ON o_totalprice >= band_lo AND o_totalprice < band_hi
+            GROUP BY band_id, band_lo, band_hi
         """,
         # native DuckDB ASOF JOIN as the oracle for the composed
         # groupby+searchsorted implementation

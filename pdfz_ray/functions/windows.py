@@ -176,6 +176,85 @@ def asof_join_events(
     return out.to_pandas()
 
 
+def sliding_event_counts(
+    sf_dir: str, window_minutes: int = 60, slide_minutes: int = 15
+) -> pd.DataFrame:
+    """Sliding-window aggregate (window > slide ⇒ overlapping windows —
+    the event-time primitive Ray Data lacks): each event is exploded to
+    the window/slide starts covering it INSIDE map_batches (vectorized
+    repeat, window_minutes/slide_minutes rows per event), partial counts
+    per (event_type, window) per batch, then a tiny groupby-sum. The
+    shuffle moves per-block (type, window, n) partials, never events."""
+    import numpy as np
+
+    k = window_minutes // slide_minutes
+    ds = _events(sf_dir, ["ts", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        floor = pc.floor_temporal(
+            batch.column("ts"), multiple=slide_minutes, unit="minute"
+        )
+        f = floor.to_numpy(zero_copy_only=False)
+        et = np.asarray(batch.column("event_type").to_pylist(), object)
+        offs = (np.arange(k) * np.timedelta64(slide_minutes, "m"))
+        starts = np.repeat(f, k) - np.tile(offs, len(f))
+        types = np.repeat(et, k)
+        key = pd.DataFrame({"event_type": types, "window_start": starts})
+        g = key.groupby(["event_type", "window_start"], as_index=False).size()
+        g = g.rename(columns={"size": "n"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    out = (
+        partials.groupby(["event_type", "window_start"])
+        .aggregate(Sum("n", alias_name="n_events"))
+        .to_pandas()
+    )
+    return out
+
+
+PRICE_BANDS = (0, 50_000, 100_000, 200_000, 400_000)
+
+
+def orders_price_bands(sf_dir: str) -> pd.DataFrame:
+    """Range join of orders against a static band table (lo <= price < hi)
+    — the broadcast-binning form of a range join: the (tiny) sorted band
+    edges ship once; each batch bins with one searchsorted; partial counts
+    shuffle. The SQL twin is the literal BETWEEN-style join."""
+    import numpy as np
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_totalprice"]
+    )
+    edges = np.asarray(PRICE_BANDS, np.float64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        p = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(edges, p, side="right") - 1  # band of lo<=p<hi
+        ok = (idx >= 0) & (idx < len(edges) - 1)
+        counts = np.bincount(idx[ok], minlength=len(edges) - 1)
+        nz = np.nonzero(counts)[0]
+        return pa.Table.from_arrays(
+            [pa.array(nz.astype(np.int64)), pa.array(counts[nz].astype(np.int64))],
+            names=["band_id", "n"],
+        )
+
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    agg = (
+        partials.groupby("band_id").aggregate(Sum("n", alias_name="n_orders"))
+        .to_pandas()
+    )
+    agg["band_lo"] = [int(PRICE_BANDS[i]) for i in agg["band_id"]]
+    agg["band_hi"] = [int(PRICE_BANDS[i + 1]) for i in agg["band_id"]]
+    return agg[["band_id", "band_lo", "band_hi", "n_orders"]]
+
+
 class HyperLogLog:
     """Minimal HLL sketch (2^p registers, 64-bit hashes) — the mergeable-
     sketch pattern: one sketch per batch, merged in a tiny reduce."""

@@ -360,3 +360,34 @@ def test_asof_join_semantics(ray_session):
     want = want.sort_values("event_id").reset_index(drop=True)
     assert got["event_id"].tolist() == want["event_id"].tolist()
     assert got["matched_event_id"].tolist() == want["event_id_v"].astype(int).tolist()
+
+
+def test_sliding_windows_cover_events(ray_session):
+    """Every event contributes to exactly window/slide windows, so total
+    window-count mass = 4 × event count; window spans align to the grid."""
+    import pandas as pd
+
+    from pdfz_ray.functions.windows import sliding_event_counts
+
+    out = sliding_event_counts(SF, window_minutes=60, slide_minutes=15)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["ts"])
+    assert out["n_events"].sum() == 4 * len(ev)
+    mins = pd.to_datetime(out["window_start"]).dt.minute
+    assert set(mins) <= {0, 15, 30, 45}
+
+
+def test_orders_price_bands_partition(ray_session):
+    """Bands partition the covered price range: per-band counts sum to the
+    number of orders inside [min_band, max_band)."""
+    import pandas as pd
+
+    from pdfz_ray.functions.windows import PRICE_BANDS, orders_price_bands
+
+    out = orders_price_bands(SF)
+    orders = pd.read_parquet(f"{SF}/orders.parquet", columns=["o_totalprice"])
+    covered = (
+        (orders.o_totalprice >= PRICE_BANDS[0])
+        & (orders.o_totalprice < PRICE_BANDS[-1])
+    ).sum()
+    assert out["n_orders"].sum() == covered
+    assert (out["band_lo"] < out["band_hi"]).all()
