@@ -140,9 +140,13 @@ def lineitem_pricing_summary(sf_dir: str) -> "pa.Table":
     """TPC-H Q1-shaped rollup with exact-integer measures: partial
     aggregation inside map_batches (one row per key per block), then a tiny
     groupby — the shuffle moves per-block partials, not 600k rows."""
+    # bound the split count: over-splitting one small file makes empty
+    # schema-less blocks that bypass map_batches and trip RefBundle schema
+    # warnings; at corpus scale (many files) the default is fine
     ds = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity"],
+        override_num_blocks=8,
     )
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -163,7 +167,10 @@ def lineitem_pricing_summary(sf_dir: str) -> "pa.Table":
 
     from ray.data.aggregate import Sum
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
+    # partials are ≤ keys-per-block rows; coalesce to one block before the
+    # final combine so the aggregate doesn't emit empty schema-less output
+    # partitions (distinct keys = 6 < default partition count)
+    partials = ds.map_batches(partial, batch_format="pyarrow").repartition(1)
     out = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
         Sum("sum_qty", alias_name="sum_qty"),
         Sum("n_rows", alias_name="n_rows"),
@@ -192,7 +199,9 @@ def orders_by_nation(sf_dir: str) -> "pa.Table":
     n_nat = int(nk.max()) + 1 if len(nk) else 1
     ref = ray.put((ck_sorted, nk_sorted, n_nat))
 
-    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"], override_num_blocks=8
+    )
 
     def partial(batch: pa.Table) -> pa.Table:
         cks, nks, nn = ray.get(ref)
@@ -230,7 +239,9 @@ def events_hourly(sf_dir: str) -> "pa.Table":
     (no float accumulation → SQL-hash-exact). Partial windows per batch,
     final combine in a small groupby."""
     ds = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "event_type", "value"],
+        override_num_blocks=8,
     )
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -266,7 +277,9 @@ def top_terms(sf_dir: str, k: int = 20) -> "pa.Table":
     (bounded by per-block vocabulary), never token streams. Final top-k
     sorts the (small) term table on the driver. Tokens = RE2 \\S+ over
     lowercased text, matching the SQL twin exactly."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"], override_num_blocks=8
+    )
 
     def partial(batch: pa.Table) -> pa.Table:
         low = pc.utf8_lower(batch.column("text"))
