@@ -529,17 +529,22 @@ def interleave_documents(batch: pa.Table) -> pa.Table:
 
     words_per_doc = [(t or "").split() for t in texts]
     n_words = np.fromiter((len(w) for w in words_per_doc), np.int64, D)
-    all_words = [w for ws in words_per_doc for w in ws]
-    # byte offsets of every word inside one giant single-space-joined buffer
-    wlen = (
-        pc.binary_length(pa.array(all_words, pa.string())).to_numpy()
-        if all_words
-        else np.zeros(0, np.int64)
-    ).astype(np.int64)
-    gstart = np.zeros(len(all_words) + 1, np.int64)
-    np.cumsum(wlen + 1, out=gstart[1:])
-    gend = gstart[: len(all_words)] + wlen
-    gbytes = np.frombuffer(" ".join(all_words).encode(), np.uint8)
+    n_all = int(n_words.sum())
+    # word byte offsets straight from the space positions of one giant
+    # single-space-joined buffer: words contain no 0x20 (split() ate all
+    # whitespace, and 0x20 never occurs inside a multi-byte UTF-8 char),
+    # so separators are exactly the spaces — no per-word Arrow array
+    # two-level join (per-doc, then across non-empty docs) — one C pass
+    # each, no flattened word list materialized
+    gbytes = np.frombuffer(
+        " ".join(" ".join(ws) for ws in words_per_doc if ws).encode(), np.uint8
+    )
+    seps = np.nonzero(gbytes == 0x20)[0]
+    gstart = np.zeros(n_all + 1, np.int64)
+    if n_all:
+        gstart[1 : len(seps) + 1] = seps + 1
+        gstart[n_all] = len(gbytes) + 1  # sentinel: end "separator" + 1
+    gend = gstart[1 : n_all + 1] - 1
     doc_word0 = np.zeros(D, np.int64)
     np.cumsum(n_words[:-1], out=doc_word0[1:])
 
@@ -598,23 +603,31 @@ def interleave_documents(batch: pa.Table) -> pa.Table:
     n_ms = len(mp)
 
     # interleave: per doc, per page — text spans in order, then the media
-    # span; realized as one lexsort over (doc, page, is_media, span_idx)
-    all_doc = np.concatenate([ts_doc, m_doc])
+    # span. Output positions are computable directly from page-level span
+    # counts (exclusive cumsum), so the permutation is one O(n) scatter —
+    # no lexsort.
+    page_total = t_spans + has_media.astype(np.int64)
+    page_base = np.cumsum(page_total) - page_total
+    total = n_ts + n_ms
+    perm = np.empty(total, np.int64)
+    perm[page_base[ts_page] + s_idx] = np.arange(n_ts)
+    perm[page_base[mp] + t_spans[mp]] = n_ts + np.arange(n_ms)
+    order = pa.array(perm)
     all_page = np.concatenate([page_num[ts_page], m_page])
     all_med = np.concatenate([np.zeros(n_ts, np.int8), np.ones(n_ms, np.int8)])
-    all_s = np.concatenate([s_idx, np.zeros(n_ms, np.int64)])
-    order = pa.array(np.lexsort((all_s, all_med, all_page, all_doc)))
     text_col = pa.concat_arrays([text_vals, pa.array(payloads, pa.string())]).take(order)
     ref_col = pa.concat_arrays(
         [pa.nulls(n_ts, pa.string()).fill_null(""), pa.array(mrefs, pa.string())]
     ).take(order)
-    kind_col = pa.array(np.where(all_med == 1, "media", "text")[order.to_numpy()])
-    off_col = pa.array(all_page[order.to_numpy()].astype(np.int32))
+    kind_col = pa.array(np.where(all_med == 1, "media", "text")[perm])
+    off_col = pa.array(all_page[perm].astype(np.int32))
     struct = pa.StructArray.from_arrays(
         [kind_col, text_col, ref_col, off_col],
         fields=list(SPAN_STRUCT),
     )
-    spans_per_doc = np.bincount(all_doc, minlength=D)
+    spans_per_doc = np.bincount(page_doc, weights=page_total, minlength=D).astype(
+        np.int64
+    )
     list_offs = np.zeros(D + 1, np.int32)
     np.cumsum(spans_per_doc, out=list_offs[1:])
     spans_col = pa.ListArray.from_arrays(pa.array(list_offs), struct)
