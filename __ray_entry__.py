@@ -358,6 +358,13 @@ def _q_sessionize(sf_dir: str):
     return sessionize(sf_dir, gap_minutes=30)
 
 
+def _q_sessionize_bucketed(sf_dir: str):
+    """Bounded-group-size scale path (hash-bucket shuffle key)."""
+    from pdfz_ray.functions.windows import sessionize_bucketed
+
+    return sessionize_bucketed(sf_dir, gap_minutes=30, buckets=16)
+
+
 def _q_running_event_counts(sf_dir: str):
     from pdfz_ray.functions.windows import running_event_counts
 
@@ -501,6 +508,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh": _q_knn_lsh,
         # stream-shaped windows / distinct (events table)
         "sessionize": _q_sessionize,
+        "sessionize_bucketed": _q_sessionize_bucketed,
         "running_event_counts": _q_running_event_counts,
         "distinct_users_by_type": _q_distinct_users,
         "top_users_by_type": _q_top_users,
@@ -977,4 +985,6 @@ FROM media_ok
     }
     # the distributed label-propagation variant must equal the union-find result
     sqls["neardup_groups_dist"] = sqls["neardup_groups"]
+    # the hash-bucketed scale path must equal per-user sessionization
+    sqls["sessionize_bucketed"] = sqls["sessionize"]
     return sqls

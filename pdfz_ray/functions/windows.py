@@ -52,6 +52,62 @@ def sessionize(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
     return out.to_pandas()
 
 
+def sessionize_bucketed(
+    sf_dir: str, gap_minutes: int = 30, buckets: int = 16
+) -> pd.DataFrame:
+    """The bounded-group-size scale path for ``sessionize``: the shuffle
+    key is ``user_id % buckets`` (bounded cardinality AND bounded skew —
+    a single viral user can't blow up one group beyond its bucket), and
+    the windowing inside each bucket is fully vectorized pandas over a
+    (user, ts) sort: global segment ids from break flags, one aggregate,
+    then a per-user cumcount for the 1-based session index. Identical
+    output (and oracle) to ``sessionize``."""
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = pc.cast(
+            pc.bit_wise_and(batch.column("user_id"), buckets - 1)
+            if (buckets & (buckets - 1)) == 0
+            else pc.subtract(
+                batch.column("user_id"),
+                pc.multiply(
+                    pc.divide(batch.column("user_id"), buckets), buckets
+                ),
+            ),
+            pa.int32(),
+        )
+        return batch.append_column("bucket", b)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        brk = (g["ts"].diff() > gap) | (g["user_id"] != g["user_id"].shift())
+        seg = brk.cumsum()
+        agg = (
+            g.assign(seg=seg)
+            .groupby("seg", as_index=False)
+            .agg(
+                user_id=("user_id", "first"),
+                n_events=("ts", "size"),
+                start_ts=("ts", "min"),
+                end_ts=("ts", "max"),
+            )
+            .sort_values(["user_id", "start_ts"])
+        )
+        agg["session_id"] = agg.groupby("user_id").cumcount() + 1
+        return agg[["user_id", "session_id", "n_events", "start_ts", "end_ts"]]
+
+    ds = _events(sf_dir, ["event_id", "user_id", "ts"])
+    out = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+    df = out.to_pandas()
+    return df.drop(columns=[c for c in ("bucket",) if c in df.columns])
+
+
 def running_event_counts(sf_dir: str) -> pd.DataFrame:
     """Per user, the running event index in (ts, event_id) order — the
     cumulative-window primitive with an integer measure."""

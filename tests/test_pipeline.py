@@ -359,3 +359,55 @@ def test_interleave_ingest(ray_session):
     for row in sample:
         assert row["status"] == "done"
         assert row["spans"][0]["kind"] == "text"
+
+
+def test_pipeline_survives_transient_task_failures(ray_session, tmp_path):
+    """Ray's at-least-once task retries + the manifest's atomic commits =
+    exactly-once OUTPUT: a stage that crashes on its first N invocations
+    (worker-crash simulation via a shared poison counter) still yields
+    byte-identical results."""
+    import ray.data as rd
+
+    import ray
+
+    tbl, paths = None, None
+    tbl = make_documents(120, monster_spans=200)
+    src = tmp_path / "flaky_in"
+    src.mkdir()
+    paths = []
+    for i in range(4):
+        p = str(src / f"docs-{i}.parquet")
+        pq.write_table(tbl.slice(i * 33, 33), p)
+        paths.append(p)
+
+    @ray.remote
+    class Poison:
+        def __init__(self, n):
+            self.left = n
+
+        def take(self) -> bool:
+            if self.left > 0:
+                self.left -= 1
+                return True
+            return False
+
+    poison = Poison.remote(3)
+
+    def flaky(batch):
+        if ray.get(poison.take.remote()):
+            raise RuntimeError("injected transient failure")
+        return batch
+
+    from pdfz_ray.pipelines.extract_pipeline import build_extract_pipeline
+    from pdfz_ray.stages.extract import flatten_output
+
+    # retry_exceptions opts application errors into Ray's task retries
+    # (system/worker failures retry by default)
+    ds = rd.read_parquet(paths).map_batches(
+        flaky, batch_format="pyarrow", retry_exceptions=True, max_retries=4
+    )
+    out = build_extract_pipeline(ds, ocr=False)
+    flat = out.map_batches(flatten_output, batch_format="pyarrow")
+    got = sorted(tuple(r.values()) for r in flat.take_all())
+    want = sorted(tuple(r.values()) for r in _oracle_flat(tbl))
+    assert got == want
