@@ -217,6 +217,37 @@ def _q_text_embed(sf_dir: str):
     )
 
 
+def _q_text_embed_fingerprint(sf_dir: str):
+    """Integer projections of the embedder output (argmax bucket, positive
+    count) — exact-checkable against the independent per-token golden
+    reference; the full float vector stays in the rows-only text_embed."""
+    from pdfz_ray.functions.text import HashEmbedder
+
+    out = _docs_table(sf_dir).map_batches(
+        HashEmbedder, batch_format="pyarrow", concurrency=(1, 2)
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        emb = batch.column("embedding").combine_chunks()
+        n = batch.num_rows
+        if n == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64())] * 3,
+                names=["doc_id", "embed_argmax", "embed_npos"],
+            )
+        mat = emb.flatten().to_numpy(zero_copy_only=False).reshape(n, -1)
+        return pa.Table.from_arrays(
+            [
+                batch.column("doc_id"),
+                pa.array(np.argmax(mat, axis=1).astype(np.int64)),
+                pa.array((mat > 0).sum(axis=1).astype(np.int64)),
+            ],
+            names=["doc_id", "embed_argmax", "embed_npos"],
+        )
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
 def _q_winnow(sf_dir: str):
     from pdfz_ray.functions.text import winnow_batch
 
@@ -492,6 +523,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fingerprints": _q_winnow,
         "normalize_text": _q_normalize,
         "text_embed": _q_text_embed,
+        "text_embed_fingerprint": _q_text_embed_fingerprint,
         "lang_id": _q_lang_id,
         "lang_distribution": _q_lang_distribution,
         # dedup family
@@ -732,6 +764,10 @@ FROM media_ok
         """,
         "winnow_fingerprints": f"""
             SELECT doc_id, n_fingerprints, fp_xor64
+            FROM read_parquet('{FIX}/golden_text.parquet')
+        """,
+        "text_embed_fingerprint": f"""
+            SELECT doc_id, embed_argmax, embed_npos
             FROM read_parquet('{FIX}/golden_text.parquet')
         """,
         # simhash banding+verify vs brute-force SQL pairs over reference

@@ -41,6 +41,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--batch-size", type=int, default=2048)
     p.add_argument("--num-cpus", type=int, default=None,
                    help="ray.init num_cpus when starting a local session")
+    p.add_argument("--metrics", default=None, metavar="NAME",
+                   help="publish live progress to this named metrics actor "
+                        "(poll with pdfz_ray.state.metrics.live_progress)")
+    p.add_argument("--skew-threshold", type=int, default=None,
+                   help="route docs with more spans than this to a "
+                        "repartitioned small-batch branch (see "
+                        "estimate_span_threshold)")
     args = p.parse_args(argv)
 
     files = sorted(glob.glob(args.input)) if any(
@@ -74,6 +81,8 @@ def main(argv: list[str] | None = None) -> int:
             ocr_engine=args.engine,
             ocr_model=args.model,
             batch_size=args.batch_size,
+            metrics=args.metrics,
+            skew_threshold=args.skew_threshold,
         )
         summary = {
             "out_dir": res["out_dir"],

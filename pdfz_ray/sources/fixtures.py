@@ -45,9 +45,9 @@ def ensure_fixtures(sf_dir: str) -> dict[str, str]:
         "golden_flat": os.path.join(d, "golden_flat.parquet"),
         "golden_text": os.path.join(d, "golden_text.parquet"),
     }
-    # v2: adds the golden_text table (pure-Python reference hashes for the
-    # vectorized text kernels); bump regenerates stale round-1 caches
-    marker = os.path.join(d, "_DONE_v2")
+    # v3: golden_text gains embed_argmax/embed_npos (integer projections of
+    # the feature-hash embedder); bumping regenerates stale caches
+    marker = os.path.join(d, "_DONE_v3")
     if os.path.exists(marker):
         return paths
     os.makedirs(d, exist_ok=True)
@@ -90,6 +90,25 @@ def _write_text_goldens(docs_pq: str, out_path: str) -> None:
     xors = [int(np.bitwise_xor.reduce(np.array(f, np.int64))) if f else 0 for f in wfs]
     sh = SimHasher()
     sims = np.array([sh.simhash(s) for s in texts], np.uint64).view(np.int64)
+
+    # feature-hash embedder reference: per-token loop (independent of the
+    # vectorized HashEmbedder), projected to exact-integer features —
+    # argmax index (first-max tie rule, like np.argmax) and positive count
+    def embed_ints(text: str, dim: int = 64) -> tuple[int, int]:
+        import pandas as pd
+
+        acc = [0.0] * dim
+        for tok in (text or "").lower().split():
+            hv = int(pd.util.hash_array(np.asarray([tok], dtype=object))[0])
+            sign = 1.0 if (hv >> 32) & 1 else -1.0
+            acc[hv % dim] += sign
+        best = 0
+        for i in range(1, dim):
+            if acc[i] > acc[best]:
+                best = i
+        return best, sum(1 for v in acc if v > 0)
+
+    emb = [embed_ints(s) for s in texts]
     golden = pa.Table.from_pydict(
         {
             "doc_id": t.column("doc_id"),
@@ -97,6 +116,8 @@ def _write_text_goldens(docs_pq: str, out_path: str) -> None:
             "n_fingerprints": pa.array([len(f) for f in wfs], pa.int64()),
             "fp_xor64": pa.array(xors, pa.int64()),
             "simhash": pa.array(sims),
+            "embed_argmax": pa.array([a for a, _ in emb], pa.int64()),
+            "embed_npos": pa.array([n for _, n in emb], pa.int64()),
         }
     )
     pq.write_table(golden, out_path)
