@@ -502,6 +502,86 @@ def _q_events_hourly(sf_dir: str):
     return events_hourly(sf_dir)
 
 
+def _q_price_quantiles(sf_dir: str):
+    from pdfz_ray.functions.analytics import orders_price_quantiles
+
+    return orders_price_quantiles(sf_dir)
+
+
+def _q_parts_by_brand(sf_dir: str):
+    """part-table rollup (pre-aggregated groupby, pruned read)."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_brand"], override_num_blocks=4
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["p_brand"]).aggregate([("p_brand", "count")])
+        return g.rename_columns(["p_brand", "n"])
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("p_brand")
+        .aggregate(Sum("n", alias_name="n_parts"))
+    )
+
+
+def _q_suppliers_by_region(sf_dir: str):
+    """supplier ⨝ nation ⨝ region via two broadcast lookups (dimension
+    tables ray.put once; the fact side streams a vectorized searchsorted)."""
+    import pyarrow.parquet as pqt
+
+    import ray
+    import ray.data
+
+    nation = pqt.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    )
+    region = pqt.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    )
+    nk = nation.column("n_nationkey").to_numpy()
+    rk = nation.column("n_regionkey").to_numpy().astype(np.int64)
+    order = np.argsort(nk)
+    ref = ray.put((nk[order], rk[order]))
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_nationkey"], override_num_blocks=4
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nks, rks = ray.get(ref)
+        keys = batch.column("s_nationkey").to_numpy(zero_copy_only=False)
+        reg = rks[np.searchsorted(nks, keys)] if len(keys) else np.zeros(0, np.int64)
+        counts = np.bincount(reg, minlength=int(rks.max()) + 1 if len(rks) else 1)
+        nz = np.nonzero(counts)[0]
+        return pa.Table.from_arrays(
+            [pa.array(nz.astype(np.int64)), pa.array(counts[nz].astype(np.int64))],
+            names=["r_regionkey", "n"],
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("r_regionkey")
+        .aggregate(Sum("n", alias_name="n_suppliers"))
+        .to_pandas()
+    )
+    names = {
+        int(k): v
+        for k, v in zip(
+            region.column("r_regionkey").to_pylist(),
+            region.column("r_name").to_pylist(),
+        )
+    }
+    agg["r_name"] = agg["r_regionkey"].map(names)
+    return agg[["r_name", "n_suppliers"]]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction core (synthetic interleaved fixture)
@@ -558,6 +638,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pricing": _q_lineitem_pricing,
         "orders_by_nation": _q_orders_by_nation,
         "events_hourly": _q_events_hourly,
+        "orders_price_quantiles": _q_price_quantiles,
+        "parts_by_brand": _q_parts_by_brand,
+        "suppliers_by_region": _q_suppliers_by_region,
     }
 
 
@@ -1017,6 +1100,28 @@ FROM media_ok
                    count(*) AS n_events,
                    min(value) AS min_value, max(value) AS max_value
             FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        # exact quantiles: smallest v with cum_count >= ceil(q/100 * n)
+        "orders_price_quantiles": """
+            WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v
+                       FROM orders),
+            r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn,
+                         count(*) OVER () AS n
+                  FROM c)
+            SELECT q.q_pct, min(r.v) AS v_cents
+            FROM (SELECT unnest([50, 90, 99]) AS q_pct) q
+            JOIN r ON r.rn = CAST(ceil(q.q_pct * r.n / 100.0) AS BIGINT)
+            GROUP BY q.q_pct
+        """,
+        "parts_by_brand": """
+            SELECT p_brand, count(*) AS n_parts FROM part GROUP BY p_brand
+        """,
+        "suppliers_by_region": """
+            SELECT r_name, count(*) AS n_suppliers
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
         """,
     }
     # the distributed label-propagation variant must equal the union-find result

@@ -300,6 +300,48 @@ def top_terms(sf_dir: str, k: int = 20) -> "pa.Table":
     return agg.reset_index(drop=True)
 
 
+def orders_price_quantiles(
+    sf_dir: str, q_pcts: tuple = (50, 90, 99)
+) -> "pa.Table":
+    """EXACT distributed quantiles via value-count compaction: each batch
+    emits (value, n) partials from one np.unique over integer cents, the
+    groupby shuffles distinct-value partials (bounded by price
+    cardinality, not row count), and quantile selection walks the sorted
+    cumulative counts on the driver. Definition: smallest v with
+    cum_count ≥ ceil(q·n) — expressed identically in the SQL twin."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_totalprice"], override_num_blocks=8
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.round(
+            batch.column("o_totalprice").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        vals, counts = np.unique(cents, return_counts=True)
+        return pa.Table.from_arrays(
+            [pa.array(vals), pa.array(counts.astype(np.int64))],
+            names=["v", "n"],
+        )
+
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    hist = (
+        partials.groupby("v").aggregate(Sum("n", alias_name="n")).to_pandas()
+        .sort_values("v").reset_index(drop=True)
+    )
+    cum = hist["n"].cumsum().to_numpy()
+    total = int(cum[-1]) if len(cum) else 0
+    rows = []
+    for q in q_pcts:
+        target = -(-q * total // 100)  # ceil(q/100 * total) in ints
+        i = int(np.searchsorted(cum, target))
+        rows.append({"q_pct": int(q), "v_cents": int(hist["v"].iloc[i])})
+    import pandas as pd
+
+    return pd.DataFrame(rows)
+
+
 def lang_distribution(sf_dir: str) -> "pa.Table":
     """documents lang → count (groupby over a pruned single column)."""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
