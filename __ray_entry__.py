@@ -466,6 +466,18 @@ def _q_customers_without_orders(sf_dir: str):
     return cust.map_batches(anti, batch_format="pyarrow")
 
 
+def _q_audio_energy(sf_dir: str):
+    import ray.data
+
+    from pdfz_ray.sources.fixtures import ensure_fixtures
+    from pdfz_ray.stages.media import AudioEnergyStage
+
+    paths = ensure_fixtures(sf_dir)
+    return ray.data.read_parquet(paths["media"]).map_batches(
+        AudioEnergyStage, batch_format="pyarrow", concurrency=(1, 2)
+    )
+
+
 def _q_frame_sample(sf_dir: str):
     import ray.data
 
@@ -633,6 +645,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_segment_hashjoin": _q_orders_join_hash,
         # multimodal plumbing
         "frame_sample": _q_frame_sample,
+        "audio_energy": _q_audio_energy,
         # wide-op analytics (TPC-H-ish tables)
         "top_terms": _q_top_terms,
         "lineitem_pricing": _q_lineitem_pricing,
@@ -1074,6 +1087,11 @@ FROM media_ok
                    CAST(octet_length(payload) AS BIGINT) AS n_bytes,
                    CAST(ceil(octet_length(payload) / 1024.0) AS BIGINT) AS n_frames
             FROM {_MEDIA_SRC}
+        """,
+        # PCM feature stage vs the independent byte-loop golden reference
+        "audio_energy": f"""
+            SELECT media_ref, n_samples, n_windows, energy, peak
+            FROM read_parquet('{FIX}/golden_audio.parquet')
         """,
         "top_terms": r"""
             WITH t AS (

@@ -44,10 +44,11 @@ def ensure_fixtures(sf_dir: str) -> dict[str, str]:
         "media": os.path.join(d, "media.parquet"),
         "golden_flat": os.path.join(d, "golden_flat.parquet"),
         "golden_text": os.path.join(d, "golden_text.parquet"),
+        "golden_audio": os.path.join(d, "golden_audio.parquet"),
     }
-    # v3: golden_text gains embed_argmax/embed_npos (integer projections of
-    # the feature-hash embedder); bumping regenerates stale caches
-    marker = os.path.join(d, "_DONE_v3")
+    # v4: adds golden_audio (pure-Python PCM feature reference); bumping
+    # regenerates stale caches
+    marker = os.path.join(d, "_DONE_v4")
     if os.path.exists(marker):
         return paths
     os.makedirs(d, exist_ok=True)
@@ -63,9 +64,40 @@ def ensure_fixtures(sf_dir: str) -> dict[str, str]:
     docs_pq = os.path.join(sf_dir, "documents.parquet")
     if os.path.exists(docs_pq):
         _write_text_goldens(docs_pq, paths["golden_text"])
+    _write_audio_goldens(paths["media"], paths["golden_audio"])
     with open(marker, "w") as f:
         f.write("ok\n")
     return paths
+
+
+def _write_audio_goldens(media_pq: str, out_path: str, window: int = 1024) -> None:
+    """PCM-s16le feature reference computed with a plain-Python byte loop
+    (int.from_bytes two's-complement) — independent of the numpy
+    AudioEnergyStage it differentially checks."""
+    t = pq.read_table(media_pq, columns=["media_ref", "payload"])
+    rows = []
+    for ref, payload in zip(
+        t.column("media_ref").to_pylist(), t.column("payload").to_pylist()
+    ):
+        p = payload or b""
+        p = p[: len(p) - (len(p) % 2)]
+        energy = 0
+        peak = 0
+        n = len(p) // 2
+        for i in range(n):
+            s = int.from_bytes(p[2 * i : 2 * i + 2], "little", signed=True)
+            energy += s * s
+            peak = max(peak, abs(s))
+        rows.append(
+            {
+                "media_ref": ref,
+                "n_samples": n,
+                "n_windows": -(-n // window),
+                "energy": energy,
+                "peak": peak,
+            }
+        )
+    pq.write_table(pa.Table.from_pylist(rows), out_path)
 
 
 def _write_text_goldens(docs_pq: str, out_path: str) -> None:

@@ -128,6 +128,47 @@ class ImageFeatureStage:
         )
 
 
+AUDIO_WINDOW = 1024  # samples per analysis window
+
+
+class AudioEnergyStage:
+    """Audio-modality actor-pool UDF: interpret the opaque payload as
+    PCM s16le and emit exact-integer signal features per item —
+    n_samples, window count, total energy (Σ sample², fits int64 for
+    < 2^33 samples), and peak |amplitude|. A real audio decoder
+    (ffmpeg/soundfile) would replace the frombuffer; the batched binary →
+    feature-row plumbing is the production shape. Checked against an
+    independent pure-Python byte-loop golden (fixtures)."""
+
+    def __init__(self, window: int = AUDIO_WINDOW):
+        self.window = window
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        n_samp = np.zeros(len(payloads), np.int64)
+        energy = np.zeros(len(payloads), np.int64)
+        peak = np.zeros(len(payloads), np.int64)
+        for i, p in enumerate(payloads):
+            if not p:
+                continue
+            s = np.frombuffer(p[: len(p) - (len(p) % 2)], np.int16).astype(np.int64)
+            n_samp[i] = len(s)
+            if len(s):
+                energy[i] = int((s * s).sum())
+                peak[i] = int(np.abs(s).max())
+        n_win = -(-n_samp // self.window)
+        return pa.Table.from_arrays(
+            [
+                batch.column("media_ref"),
+                pa.array(n_samp),
+                pa.array(n_win),
+                pa.array(energy),
+                pa.array(peak),
+            ],
+            names=["media_ref", "n_samples", "n_windows", "energy", "peak"],
+        )
+
+
 FRAME_BYTES = 1024
 
 
