@@ -31,8 +31,6 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-_MERSENNE = (1 << 61) - 1
-
 
 def content_hash_batch(batch: pa.Table) -> pa.Table:
     """Add md5 content hash (exact-dedup key)."""
@@ -240,9 +238,9 @@ def minhash_lsh_pairs(
     """MinHash-LSH candidate generation + exact-Jaccard verification.
 
     Pipeline shape (the 100 TB path):
-      sign (actor pool) → explode to (band, band_hash, doc_id) rows →
-      groupby(band, band_hash) → emit candidate pairs per bucket →
-      dedup pairs → verify exact Jaccard.
+      sign (cached-task stage) → explode to (band, band_hash, doc_id) rows
+      → groupby(band, band_hash) → emit candidate pairs per bucket →
+      dedup pairs → verify exact Jaccard in the data plane.
     Only signatures and id pairs are shuffled.
     """
     rows_per_band = num_perm // bands
@@ -253,10 +251,17 @@ def minhash_lsh_pairs(
     )
 
     def explode_bands(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch.column("doc_id").to_pylist(), np.int64)
-        sig = np.stack(
-            [np.asarray(s, np.uint64) for s in batch.column("minhash").to_pylist()]
-        ) if batch.num_rows else np.zeros((0, num_perm), np.uint64)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        sig = (
+            batch.column("minhash")
+            .combine_chunks()
+            .flatten()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.uint64)
+            .reshape(batch.num_rows, num_perm)
+            if batch.num_rows
+            else np.zeros((0, num_perm), np.uint64)
+        )
         out_id, out_band, out_bh = [], [], []
         P = np.uint64(0x9E3779B97F4A7C15)
         for bi in range(bands):
