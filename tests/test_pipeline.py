@@ -411,3 +411,40 @@ def test_pipeline_survives_transient_task_failures(ray_session, tmp_path):
     got = sorted(tuple(r.values()) for r in flat.take_all())
     want = sorted(tuple(r.values()) for r in _oracle_flat(tbl))
     assert got == want
+
+
+def test_incremental_append_runs_only_new_partitions(ray_session, tmp_path):
+    """Incremental ingestion: appending partition-aligned input files to a
+    completed run processes ONLY the new partitions (old files_md5 still
+    match), and the combined output equals a from-scratch oracle run."""
+    from pdfz_ray.pipelines.extract_pipeline import run_partitioned
+    from pdfz_ray.stages.extract import flatten_output
+
+    tbl = make_documents(88)  # 8 rows of dup tail → exercises dedup too
+    d = tmp_path / "inc"
+    d.mkdir()
+    paths = []
+    for i in range(4):
+        p = str(d / f"f{i}.parquet")
+        pq.write_table(tbl.slice(i * 24, 24), p)
+        paths.append(p)
+
+    out_dir = str(tmp_path / "inc_out")
+    res1 = run_partitioned(paths[:2], out_dir, partition_size=1, ocr=False)
+    assert res1["partitions_run"] == [0, 1]
+
+    # append two more files; alignment keeps pid 0/1 chunk hashes stable.
+    # The dup tail lives in the appended files: cross-partition ownership
+    # assigns winners to the (already committed) original partitions, so
+    # the new partitions drop the dup rows and first-wins still holds.
+    res2 = run_partitioned(paths, out_dir, partition_size=1, ocr=False)
+    assert res2["partitions_skipped"] == [0, 1]
+    assert res2["partitions_run"] == [2, 3]
+
+    import ray.data as rd
+
+    final = rd.read_parquet(res2["output_files"])
+    flat = final.map_batches(flatten_output, batch_format="pyarrow")
+    got = sorted(tuple(r.values()) for r in flat.take_all())
+    want = sorted(tuple(r.values()) for r in _oracle_flat(tbl))
+    assert got == want
