@@ -194,6 +194,106 @@ def knn_lsh(
     return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
 
 
+def _kmeans_fit(
+    sample: np.ndarray, nlist: int, iters: int = 10, seed: int = 42
+) -> np.ndarray:
+    """Deterministic spherical k-means (fixed iterations, seeded kmeans++
+    init) over L2-normalized vectors → (nlist, dim) normalized centroids."""
+    rng = np.random.default_rng(seed)
+    x = _normalize(sample.astype(np.float64))
+    centroids = np.empty((nlist, x.shape[1]))
+    centroids[0] = x[int(rng.integers(len(x)))]
+    d2 = None
+    for c in range(1, nlist):
+        sims = x @ centroids[:c].T
+        d2 = np.maximum(1.0 - sims.max(axis=1), 1e-12)
+        centroids[c] = x[int(rng.choice(len(x), p=d2 / d2.sum()))]
+    for _ in range(iters):
+        assign = np.argmax(x @ centroids.T, axis=1)
+        for c in range(nlist):
+            m = assign == c
+            if m.any():
+                v = x[m].mean(axis=0)
+                centroids[c] = v / max(np.linalg.norm(v), 1e-30)
+    return centroids
+
+
+def knn_ivf(
+    ds: "ray.data.Dataset",
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    train_sample: int = 4096,
+    exclude_self: bool = True,
+) -> pa.Table:
+    """Approximate top-k via IVF (inverted-file) coarse quantization — the
+    second ANN scale path next to hyperplane LSH: a small sample trains
+    nlist spherical-kmeans centroids driver-side (bounded ``limit`` read),
+    the centroid matrix broadcasts once, and each batch scores a vector
+    against a query ONLY when the vector's cell is among that query's
+    nprobe nearest cells — so roughly nprobe/nlist of the corpus is
+    scored. Candidates shuffle as (query_id, vec_id, sim) triples."""
+    sample_rows = ds.select_columns(["embedding"]).limit(train_sample).take_all()
+    sample = np.stack([np.asarray(r["embedding"], np.float64) for r in sample_rows])
+    centroids = _kmeans_fit(sample, nlist)
+    qn = _normalize(np.asarray(queries, np.float64))
+    # each query probes its nprobe nearest cells
+    q_cells = np.argsort(-(qn @ centroids.T), axis=1)[:, :nprobe]
+    ref = ray.put((np.asarray(query_ids, np.int64), qn, centroids, q_cells))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qids, qmat, cents, qcells = ray.get(ref)
+        vids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _normalize(_to_matrix(batch))
+        if not len(vids):
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.int64()),
+                 pa.array([], pa.float64())],
+                names=["query_id", "vec_id", "sim"],
+            )
+        cell = np.argmax(m @ cents.T, axis=1)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(qids)):
+            rows = np.nonzero(np.isin(cell, qcells[qi]))[0]
+            if not len(rows):
+                continue
+            s = qmat[qi] @ m[rows].T
+            kk = min(k + 1, len(s))
+            top = (
+                np.argpartition(-s, kk - 1)[:kk] if kk < len(s) else np.arange(len(s))
+            )
+            out_q.append(np.full(len(top), qids[qi], np.int64))
+            out_v.append(vids[rows[top]])
+            out_s.append(s[top])
+        if not out_q:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.int64()),
+                 pa.array([], pa.float64())],
+                names=["query_id", "vec_id", "sim"],
+            )
+        return pa.Table.from_arrays(
+            [pa.array(np.concatenate(out_q)), pa.array(np.concatenate(out_v)),
+             pa.array(np.concatenate(out_s))],
+            names=["query_id", "vec_id", "sim"],
+        )
+
+    cands = ds.map_batches(local_topk, batch_format="pyarrow")
+    df = pa.Table.from_pylist(
+        cands.take_all(),
+        schema=pa.schema(
+            [("query_id", pa.int64()), ("vec_id", pa.int64()), ("sim", pa.float64())]
+        ),
+    ).to_pandas().drop_duplicates(["query_id", "vec_id"])
+    if exclude_self:
+        df = df[df["query_id"] != df["vec_id"]]
+    df = df.sort_values(["query_id", "sim", "vec_id"], ascending=[True, False, True])
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    df = df[df["rank"] <= k][["query_id", "vec_id", "rank"]]
+    return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
+
+
 def load_query_matrix(sf_dir: str, n_queries: int = 5):
     """First n vec_ids (deterministic) as the query set."""
     import pyarrow.parquet as pq

@@ -391,3 +391,21 @@ def test_orders_price_bands_partition(ray_session):
     ).sum()
     assert out["n_orders"].sum() == covered
     assert (out["band_lo"] < out["band_hi"]).all()
+
+
+def test_knn_ivf_recall(emb_ds):
+    """IVF coarse quantization: recall vs brute force scales with the
+    probe ratio; determinism across runs (seeded kmeans)."""
+    from pdfz_ray.functions.similarity import knn_brute, knn_ivf, load_query_matrix
+
+    ids, mat = load_query_matrix(SF, n_queries=5)
+    brute = knn_brute(emb_ds, mat, ids, k=10).to_pandas()
+    a1 = knn_ivf(emb_ds, mat, ids, k=10, nlist=8, nprobe=4).to_pandas()
+    a2 = knn_ivf(emb_ds, mat, ids, k=10, nlist=8, nprobe=4).to_pandas()
+    assert a1.reset_index(drop=True).equals(a2.reset_index(drop=True))
+    b = {(r.query_id, r.vec_id) for r in brute.itertuples()}
+    a = {(r.query_id, r.vec_id) for r in a1.itertuples()}
+    assert len(a & b) / len(b) >= 0.5  # probing half the cells
+    # full probe degenerates to exact brute force
+    full = knn_ivf(emb_ds, mat, ids, k=10, nlist=8, nprobe=8).to_pandas()
+    assert full.reset_index(drop=True).equals(brute.reset_index(drop=True))
