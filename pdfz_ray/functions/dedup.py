@@ -583,6 +583,7 @@ def neardup_groups_distributed(
     from ray.data.aggregate import Min
 
     prev_sum = None
+    converged = False
     for _ in range(max_iters):
         # ship each node's current label to its neighbors via the edge list
         nbr_labels = edges.join(
@@ -618,8 +619,16 @@ def neardup_groups_distributed(
         )
         labels = new_labels
         if s == prev_sum:  # labels are monotone non-increasing ints
+            converged = True
             break
         prev_sum = s
+    if not converged:
+        # never return silently-wrong components — a diameter beyond
+        # max_iters needs more hops (or the pointer-doubling variant)
+        raise RuntimeError(
+            f"label propagation did not converge in {max_iters} iterations "
+            "(component diameter too large; raise max_iters)"
+        )
     out = pa.Table.from_pylist(
         labels.take_all(),
         schema=pa.schema([("node", pa.int64()), ("label", pa.int64())]),

@@ -172,14 +172,14 @@ def test_neardup_groups_distributed_matches_union_find(ray_session):
     from pdfz_ray.functions.dedup import neardup_groups, neardup_groups_distributed
 
     random.seed(3)
+    # each hop is a join+groupby round, so chain length drives test wall
+    # time — 8 hops proves multi-hop convergence without a 2-minute test
     cases = [
         [(1, 2), (2, 3), (3, 4), (10, 11)],          # chain + island
         [(5, 6), (6, 7), (5, 7), (8, 9)],            # triangle
-        [(i, i + 1) for i in range(20)],             # long chain
+        [(i, i + 1) for i in range(8)],              # 8-hop chain
+        [(random.randint(0, 30), random.randint(31, 60)) for _ in range(40)],
     ]
-    cases.append(
-        [(random.randint(0, 30), random.randint(31, 60)) for _ in range(40)]
-    )
     for edges in cases:
         pairs = pa.Table.from_pydict(
             {
