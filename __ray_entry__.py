@@ -323,6 +323,17 @@ def _q_split_assign(sf_dir: str):
     return out.select_columns(["doc_id", "split"])
 
 
+def _q_neardup_dedup_corpus(sf_dir: str):
+    """Survivor ids after end-to-end near-dup dedup (keep min-id per
+    cluster). LSH pair recall equals the exact pair set on this corpus
+    (same equality the minhash_lsh oracle asserts), so the SQL twin drops
+    non-representative members of exact-Jaccard components."""
+    from pdfz_ray.functions.dedup import neardup_dedup_corpus
+
+    out = neardup_dedup_corpus(_docs_table(sf_dir), threshold=0.2)
+    return out.select_columns(["doc_id"])
+
+
 def _q_orders_join_hash(sf_dir: str):
     """Hash-partitioned Dataset.join (both sides large path): orders ⨝
     customer, rolled up per market segment — the shuffle-join twin of the
@@ -630,6 +641,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": _q_embedding_neardup,
         "neardup_groups": _q_neardup_groups,
         "neardup_groups_dist": _q_neardup_groups_dist,
+        "neardup_dedup_corpus": _q_neardup_dedup_corpus,
         "split_assign": _q_split_assign,
         # similarity search
         "knn_brute": _q_knn_brute,
@@ -955,6 +967,32 @@ FROM media_ok
             SELECT doc_id_a, doc_id_b FROM p
             WHERE inter > 0 AND inter * 1.0 / uni >= 0.2
             ORDER BY doc_id_a, doc_id_b
+        """,
+        # survivors of end-to-end near-dup dedup: every doc except
+        # non-minimum members of exact-Jaccard connected components
+        "neardup_dedup_corpus": r"""
+            WITH RECURSIVE toks AS (
+              SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(generate_series(1, len(w) - 2),
+                                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+              FROM toks),
+            p AS (
+              SELECT a.doc_id AS a, b.doc_id AS b,
+                     len(list_intersect(a.g, b.g)) AS inter,
+                     len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS uni
+              FROM grams a JOIN grams b ON a.doc_id < b.doc_id),
+            pairs AS (SELECT a, b FROM p WHERE inter > 0 AND inter * 1.0 / uni >= 0.2),
+            edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+            reach(node, label) AS (
+              SELECT a, a FROM edges
+              UNION
+              SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
+            ),
+            comp AS (SELECT node, min(label) AS root FROM reach GROUP BY node)
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> root)
         """,
         "neardup_groups": r"""
             WITH RECURSIVE toks AS (

@@ -677,6 +677,39 @@ def neardup_groups(pairs: pa.Table) -> pa.Table:
 # ---------------------------------------------------------------------------
 
 
+def neardup_dedup_corpus(
+    ds: "ray.data.Dataset", threshold: float = 0.5, **lsh_kw
+) -> "ray.data.Dataset":
+    """The end-to-end near-dup dedup a training-data pipeline actually
+    ships: MinHash-LSH pairs → connected components → keep the min-doc_id
+    representative per cluster, drop the rest. Only the (small) loser id
+    set is broadcast; the corpus streams through one vectorized anti-join
+    filter — payloads never shuffle."""
+    pairs = minhash_lsh_pairs(ds, threshold=threshold, **lsh_kw)
+    groups = neardup_groups(pairs)
+    losers = pa.array(
+        [
+            int(d)
+            for d, g in zip(
+                groups.column("doc_id").to_pylist(),
+                groups.column("group_id").to_pylist(),
+            )
+            if d != g
+        ],
+        pa.int64(),
+    )
+    if len(losers) == 0:
+        return ds
+    ref = ray.put(losers)
+
+    def drop(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.invert(pc.is_in(batch.column("doc_id"), value_set=ray.get(ref)))
+        )
+
+    return ds.map_batches(drop, batch_format="pyarrow")
+
+
 def _normalize_block(batch: pa.Table) -> pa.Table:
     """(vec_id, L2-normalized float64 embedding) — typed even when empty."""
     n = batch.num_rows
