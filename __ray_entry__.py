@@ -609,6 +609,43 @@ def _q_suppliers_by_region(sf_dir: str):
     return agg[["r_name", "n_suppliers"]]
 
 
+def _q_revenue_by_nation(sf_dir: str):
+    from pdfz_ray.functions.analytics import revenue_by_nation
+
+    return revenue_by_nation(sf_dir)
+
+
+def _q_decontaminate(sf_dir: str):
+    """Benchmark-contamination scan: docs sharing a word 3-gram with the
+    held-out slice (doc_id % 23 == 0), with distinct-overlap counts."""
+    from pdfz_ray.functions.curation import decontaminate
+
+    return decontaminate(_docs_table(sf_dir), n=3, modulus=23)
+
+
+def _q_pii_redact(sf_dir: str):
+    from pdfz_ray.functions.curation import pii_redact_batch
+
+    return _docs_table(sf_dir).map_batches(pii_redact_batch, batch_format="pyarrow")
+
+
+def _q_pack_sequences(sf_dir: str):
+    from pdfz_ray.functions.curation import pack_sequences
+
+    return pack_sequences(_docs_table(sf_dir), budget=512)
+
+
+def _q_hash_sample(sf_dir: str):
+    import ray.data
+
+    from pdfz_ray.functions.curation import hash_sample_batch
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    return ds.map_batches(hash_sample_batch, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction core (synthetic interleaved fixture)
@@ -670,6 +707,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_price_quantiles": _q_price_quantiles,
         "parts_by_brand": _q_parts_by_brand,
         "suppliers_by_region": _q_suppliers_by_region,
+        "revenue_by_nation": _q_revenue_by_nation,
+        # corpus curation
+        "decontaminate": _q_decontaminate,
+        "pii_redact": _q_pii_redact,
+        "pack_sequences": _q_pack_sequences,
+        "hash_sample": _q_hash_sample,
     }
 
 
@@ -1182,6 +1225,84 @@ FROM media_ok
             JOIN nation ON s_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name
+        """,
+        # exact-integer revenue (price-cents × discount-hundredths) so the
+        # 3-table join rollup hash-matches with no float drift
+        "revenue_by_nation": """
+            SELECT n_name,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * CAST(round((1 - l_discount) * 100) AS BIGINT))
+                        AS BIGINT) AS revenue_c4
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        # corpus curation ------------------------------------------------
+        # benchmark slice = doc_id % 23 == 0; overlap counts DISTINCT
+        # 3-grams shared with it (keep in sync with curation.decontaminate)
+        "decontaminate": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents
+            ),
+            grams AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(generate_series(1, len(w) - 2),
+                                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+              FROM toks
+            ),
+            bench AS (
+              SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id % 23 = 0
+            ),
+            corpus AS (SELECT doc_id, unnest(g) AS gram FROM grams)
+            SELECT c.doc_id, count(*) AS n_overlap
+            FROM corpus c JOIN bench b USING (gram)
+            GROUP BY c.doc_id
+        """,
+        # same RE2 patterns as curation.pii_redact_batch (keep in sync);
+        # counts on the original text, redaction email → ip → phone
+        "pii_redact": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(text,
+                        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+                   CAST(len(regexp_extract_all(text,
+                        '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                        '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS redacted
+            FROM documents
+        """,
+        # split-allowed sequence packing: pack_id = exclusive-prefix-sum of
+        # token counts (doc_id order) // budget
+        "pack_sequences": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, n_tokens,
+                     coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+              FROM t
+            )
+            SELECT doc_id, n_tokens,
+                   CAST(prev AS BIGINT) // 512 AS pack_id,
+                   CAST(prev AS BIGINT) % 512 AS pack_offset
+            FROM c
+        """,
+        # stratified hash sampling: first 16 bits of md5(text) under the
+        # per-source threshold (src0 boosted to 50%, default 10%) — hex
+        # comparison is numeric because the width is fixed at 4 chars
+        "hash_sample": """
+            SELECT doc_id, source
+            FROM documents
+            WHERE substr(md5(text), 1, 4) <
+                  CASE WHEN source = 'src0' THEN '8000' ELSE '1999' END
         """,
     }
     # the distributed label-propagation variant must equal the union-find result

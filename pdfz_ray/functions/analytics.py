@@ -348,3 +348,98 @@ def lang_distribution(sf_dir: str) -> "pa.Table":
     out = ds.groupby("lang").count()
     df = out.to_pandas().rename(columns={"count()": "n_docs"})
     return df
+
+
+def revenue_by_nation(sf_dir: str, num_partitions: int = 8) -> "pa.Table":
+    """TPC-H Q5-shaped revenue rollup: lineitem ⨝ orders (hash join — both
+    sides large) → customer/nation broadcast lookups → per-nation revenue.
+
+    The scale plan: lineitem pre-aggregates revenue per orderkey INSIDE
+    map_batches (rows are clustered by orderkey, so partials shrink ~4×
+    before the shuffle), the hash join moves only (orderkey, revenue) and
+    (orderkey, custkey) pairs, and the dimension sides (customer, nation)
+    are broadcast once via ``ray.put``. Revenue is exact-integer
+    (price-cents × discount-hundredths → 10^-4 currency units) so the
+    DuckDB twin hash-matches with no float drift. At cluster scale raise
+    ``num_partitions`` to ~2× total cores.
+    """
+    import pyarrow.parquet as pq
+
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        override_num_blocks=num_partitions,
+    )
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        price = batch.column("l_extendedprice").to_numpy()
+        disc = batch.column("l_discount").to_numpy()
+        # half-up rounding (floor(x+0.5)) == DuckDB round() for positives
+        cents = np.floor(price * 100 + 0.5).astype(np.int64)
+        dh = np.floor((1.0 - disc) * 100 + 0.5).astype(np.int64)
+        t = pa.Table.from_arrays(
+            [batch.column("l_orderkey"), pa.array(cents * dh)],
+            names=["l_orderkey", "rev"],
+        )
+        g = t.group_by(["l_orderkey"]).aggregate([("rev", "sum")])
+        return g.rename_columns(["l_orderkey", "rev"])
+
+    rev = line.map_batches(rev_partial, batch_format="pyarrow")
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey"],
+        override_num_blocks=num_partitions,
+    )
+    joined = rev.join(
+        orders,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    ck = cust.column("c_custkey").to_numpy()
+    nk = cust.column("c_nationkey").to_numpy().astype(np.int64)
+    order = np.argsort(ck)
+    n_nat = int(nk.max()) + 1 if len(nk) else 1
+    ref = ray.put((ck[order], nk[order], n_nat))
+
+    def nation_partial(batch: pa.Table) -> pa.Table:
+        cks, nks, nn = ray.get(ref)
+        keys = batch.column("o_custkey").to_numpy()
+        revs = batch.column("rev").to_numpy()
+        nat = nks[np.searchsorted(cks, keys)] if len(keys) else np.zeros(0, np.int64)
+        sums = np.bincount(nat, weights=revs.astype(np.float64), minlength=nn)
+        # bincount weights go through float64 — exact for |sum| < 2^53,
+        # which per-BATCH partials never approach (full-corpus totals are
+        # combined as int64 in the groupby below)
+        nz = np.nonzero(sums)[0]
+        return pa.Table.from_arrays(
+            [pa.array(nz.astype(np.int64)), pa.array(sums[nz].astype(np.int64))],
+            names=["n_nationkey", "rev"],
+        )
+
+    from ray.data.aggregate import Sum
+
+    partials = joined.map_batches(nation_partial, batch_format="pyarrow")
+    agg = (
+        partials.groupby("n_nationkey")
+        .aggregate(Sum("rev", alias_name="revenue_c4"))
+        .to_pandas()
+    )
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    names = dict(
+        zip(
+            nation.column("n_nationkey").to_pylist(),
+            nation.column("n_name").to_pylist(),
+        )
+    )
+    agg["n_name"] = agg["n_nationkey"].map(names)
+    agg["revenue_c4"] = agg["revenue_c4"].astype("int64")
+    return agg[["n_name", "revenue_c4"]]

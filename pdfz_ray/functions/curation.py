@@ -1,0 +1,292 @@
+"""Corpus-curation operators for training-data pipelines: benchmark
+decontamination, PII counting/redaction, sequence packing, and stratified
+hash sampling.
+
+These generalize the reference's curation-adjacent behaviors (upload-type
+filtering `api/src/helpers/uploadhelper.ts:27-42`, in-flight dedup
+`api/src/server.ts:90-103`) to the operations a 100-TB pretraining corpus
+actually needs before training. Scale shapes:
+
+- decontamination: benchmark n-gram set is SMALL by construction → built
+  once, broadcast via ``ray.put``, materialized per actor in ``__init__``;
+  the corpus streams through a vectorized Arrow membership kernel. No
+  shuffle of document payloads.
+- PII: pure RE2 kernels (``pyarrow.compute``) — compilation is amortized
+  per batch, matching DuckDB's RE2 byte-for-byte.
+- sequence packing: a distributed two-phase prefix scan — per-bucket token
+  totals (tiny partials) shuffle, the driver cumsums one row per bucket,
+  then per-bucket vectorized assignment. Payload text never shuffles.
+- hash sampling: stateless per-batch predicate on a content hash —
+  deterministic across runs, machines, and cluster sizes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import TYPE_CHECKING
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+if TYPE_CHECKING:
+    import ray.data
+
+# tokens = \S+ runs, identical to the DuckDB oracles'
+# regexp_extract_all(text, '\S+') (ASCII \s only — RE2 on both sides)
+_TOKEN_SPLIT = r"\s+"
+_TRIM = r"^\s+|\s+$"
+
+
+def ngram_arrays(text_col, n: int = 3) -> tuple[pa.Array, np.ndarray]:
+    """Vectorized word n-grams over a utf8 column → (flat gram strings,
+    parent row indices). Grams are space-joined token windows, exactly
+    ``w[i] || ' ' || w[i+1] || ...`` in the SQL twins; docs with < n
+    tokens contribute no grams (mirrors generate_series(1, len(w)-n+1)
+    being empty). Requires n >= 2 (an empty doc yields one empty token
+    after trim+split, which can never form a 2+-gram).
+
+    One regex split + n zero-copy slices + one element-wise join per
+    batch — no Python per row.
+    """
+    if n < 2:
+        raise ValueError("ngram_arrays requires n >= 2")
+    text = pc.fill_null(text_col, "")
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    trimmed = pc.replace_substring_regex(text, pattern=_TRIM, replacement="")
+    toks = pc.split_pattern_regex(trimmed, pattern=_TOKEN_SPLIT)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    total = len(flat)
+    m = total - n + 1
+    if m <= 0:
+        return pa.array([], pa.string()), np.zeros(0, np.int64)
+    parent = pc.list_parent_indices(toks).to_numpy().astype(np.int64)
+    # a gram starting at i is valid iff all n tokens share one document
+    mask = parent[:m] == parent[n - 1 :]
+    if not mask.any():
+        return pa.array([], pa.string()), np.zeros(0, np.int64)
+    pieces = [flat.slice(k, m) for k in range(n)]
+    grams_all = pc.binary_join_element_wise(*pieces, " ")
+    sel = pa.array(mask)
+    return grams_all.filter(sel), parent[:m][mask]
+
+
+def benchmark_gram_set(
+    ds: "ray.data.Dataset", n: int = 3, modulus: int = 23
+) -> pa.Array:
+    """Distinct n-grams of the held-out benchmark slice (docs with
+    ``doc_id % modulus == 0`` — a deterministic stand-in for an external
+    eval set). The bench side is small by construction, so collecting its
+    distinct grams to the driver IS the broadcast-build step; at 100 TB
+    the benchmark is eval suites (MMLU et al.), a few MB of grams."""
+
+    def distinct_grams(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        keep = pa.array(ids % modulus == 0)
+        sub = batch.filter(keep)
+        g, _ = ngram_arrays(sub.column("text"), n)
+        return pa.Table.from_arrays([g.unique()], names=["gram"])
+
+    parts = ds.map_batches(distinct_grams, batch_format="pyarrow").to_pandas()
+    return pa.array(parts["gram"], pa.string()).unique()
+
+
+class DecontaminateStage:
+    """Flag corpus docs sharing any word n-gram with the benchmark set —
+    the train/test-contamination scan every serious pretraining pipeline
+    runs. The gram set is fetched from the object store ONCE per actor
+    (``__init__``), so per-batch work is one vectorized ``is_in`` plus an
+    Arrow distinct-count; emits (doc_id, n_overlap) for contaminated docs
+    (n_overlap = DISTINCT overlapping grams)."""
+
+    def __init__(self, bench_ref, n: int = 3):
+        import ray
+
+        self.bench = (
+            ray.get(bench_ref) if not isinstance(bench_ref, pa.Array) else bench_ref
+        )
+        self.n = n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        empty = pa.Table.from_arrays(
+            [pa.array([], pa.int64()), pa.array([], pa.int64())],
+            names=["doc_id", "n_overlap"],
+        )
+        if batch.num_rows == 0:
+            return empty
+        grams, parent = ngram_arrays(batch.column("text"), self.n)
+        if len(grams) == 0:
+            return empty
+        hits = pc.is_in(grams, value_set=self.bench).to_numpy(zero_copy_only=False)
+        if not hits.any():
+            return empty
+        sel = pa.array(hits)
+        pairs = pa.Table.from_arrays(
+            [pa.array(parent[hits]), grams.filter(sel)], names=["p", "g"]
+        )
+        distinct = pairs.group_by(["p", "g"]).aggregate([])
+        counts = distinct.group_by(["p"]).aggregate([("g", "count")])
+        doc_ids = batch.column("doc_id").take(counts.column("p"))
+        return pa.Table.from_arrays(
+            [doc_ids, pc.cast(counts.column("g_count"), pa.int64())],
+            names=["doc_id", "n_overlap"],
+        )
+
+
+def decontaminate(
+    ds: "ray.data.Dataset", n: int = 3, modulus: int = 23
+) -> "ray.data.Dataset":
+    """End-to-end decontamination scan: build + broadcast the benchmark
+    gram set, then stream the corpus through the membership stage (actor
+    pool so the set is materialized once per worker, not per batch)."""
+    import ray
+
+    bench_ref = ray.put(benchmark_gram_set(ds, n=n, modulus=modulus))
+    return ds.map_batches(
+        DecontaminateStage,
+        fn_constructor_kwargs={"bench_ref": bench_ref, "n": n},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII counting / redaction
+# ---------------------------------------------------------------------------
+
+# RE2-compatible patterns (pyarrow.compute and DuckDB both run RE2, so the
+# SQL twin matches byte-for-byte); keep in sync with the oracle_sql entry
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+def pii_redact_batch(batch: pa.Table) -> pa.Table:
+    """Count and redact PII-shaped substrings (emails, IPv4s, US-style
+    phone numbers). Counts are taken on the ORIGINAL text; redaction is
+    applied email → ip → phone (the replacement tokens contain no digits
+    or '@', so the order only matters for documentation). All vectorized
+    RE2 kernels."""
+    text = pc.fill_null(batch.column("text"), "")
+    n_emails = pc.cast(pc.count_substring_regex(text, EMAIL_RE), pa.int64())
+    n_ipv4 = pc.cast(pc.count_substring_regex(text, IPV4_RE), pa.int64())
+    n_phones = pc.cast(pc.count_substring_regex(text, PHONE_RE), pa.int64())
+    red = pc.replace_substring_regex(text, pattern=EMAIL_RE, replacement="<EMAIL>")
+    red = pc.replace_substring_regex(red, pattern=IPV4_RE, replacement="<IP>")
+    red = pc.replace_substring_regex(red, pattern=PHONE_RE, replacement="<PHONE>")
+    return pa.Table.from_arrays(
+        [batch.column("doc_id"), n_emails, n_ipv4, n_phones, red],
+        names=["doc_id", "n_emails", "n_ipv4", "n_phones", "redacted"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (token-budget bin assignment)
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(
+    ds: "ray.data.Dataset", budget: int = 512, bucket_size: int = 4096
+) -> "ray.data.Dataset":
+    """Assign every document a training-sequence pack id and intra-pack
+    offset under a fixed token budget (split-allowed packing: pack_id =
+    prev_cumsum // budget over doc_id order — the standard layout when
+    documents may straddle sequence boundaries with an EOS separator).
+
+    Distributed prefix scan in two phases:
+      A. per-bucket (doc_id // bucket_size) token totals — per-batch Arrow
+         partials, then a tiny groupby-sum; the driver cumsums ONE ROW PER
+         BUCKET and broadcasts the offsets.
+      B. per-bucket ``map_groups``: vectorized sort + exclusive cumsum +
+         bucket offset. Only (doc_id, bucket, n_tokens) rows shuffle —
+         24 bytes/doc; text never moves.
+    """
+    import ray
+
+    def tokens_and_bucket(batch: pa.Table) -> pa.Table:
+        n = pc.cast(
+            pc.count_substring_regex(pc.fill_null(batch.column("text"), ""), r"\S+"),
+            pa.int64(),
+        )
+        ids = batch.column("doc_id").to_numpy()
+        return pa.Table.from_arrays(
+            [batch.column("doc_id"), pa.array(ids // bucket_size), n],
+            names=["doc_id", "bucket", "n_tokens"],
+        )
+
+    narrow = ds.map_batches(tokens_and_bucket, batch_format="pyarrow")
+
+    def bucket_partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(["bucket", "n_tokens"]).group_by(["bucket"]).aggregate(
+            [("n_tokens", "sum")]
+        )
+        return g.rename_columns(["bucket", "total"])
+
+    from ray.data.aggregate import Sum
+
+    totals = (
+        narrow.map_batches(bucket_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("total", alias_name="total"))
+        .to_pandas()
+        .sort_values("bucket")
+    )
+    # exclusive cumsum over bucket totals: offset of bucket b = tokens
+    # before it. One int64 per 4096 docs on the driver — ~30 MB per 1e13
+    # docs; for larger corpora raise bucket_size.
+    csum = totals["total"].cumsum().shift(fill_value=0)
+    offsets_ref = ray.put(dict(zip(totals["bucket"], csum)))
+
+    def assign(group: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        offsets = _ray.get(offsets_ref)
+        idx = pc.sort_indices(group.column("doc_id"))
+        g = group.take(idx)
+        n = g.column("n_tokens").to_numpy()
+        start = int(offsets[int(g.column("bucket")[0].as_py())])
+        prev = start + np.concatenate(([0], np.cumsum(n[:-1])))
+        return pa.Table.from_arrays(
+            [
+                g.column("doc_id"),
+                g.column("n_tokens"),
+                pa.array(prev // budget),
+                pa.array(prev % budget),
+            ],
+            names=["doc_id", "n_tokens", "pack_id", "pack_offset"],
+        )
+
+    return narrow.groupby("bucket").map_groups(assign, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Stratified hash sampling
+# ---------------------------------------------------------------------------
+
+DEFAULT_RATE_PCT = 10
+BOOST_RATES = {"src0": 50}  # per-source overrides (e.g. upweight a domain)
+
+
+def hash_sample_batch(batch: pa.Table, rates: dict | None = None) -> pa.Table:
+    """Deterministic stratified sampling: keep a doc iff the first 16 bits
+    of md5(text) fall under its source's rate — the same content-hash
+    bucketing as the train/val/test split (``text.split_assign_batch``),
+    so samples are stable across runs and cluster sizes, and a given text
+    is sampled consistently wherever it appears. Per-source rates let a
+    curation pipeline up/down-weight domains."""
+    rates = BOOST_RATES if rates is None else rates
+    texts = batch.column("text").to_pylist()
+    buckets = np.array(
+        [int(hashlib.md5((t or "").encode()).hexdigest()[:4], 16) for t in texts],
+        np.int64,
+    )
+    sources = batch.column("source").to_pylist()
+    thresh = np.array(
+        [(rates.get(s, DEFAULT_RATE_PCT) * 65536) // 100 for s in sources],
+        np.int64,
+    )
+    keep = pa.array(buckets < thresh)
+    return batch.select(["doc_id", "source"]).filter(keep)

@@ -1,0 +1,167 @@
+"""Corpus-curation operator tests: decontamination, PII redaction,
+sequence packing, stratified hash sampling, and the Q5-style join."""
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _ngram_ref(text: str, n: int) -> list[str]:
+    """Independent reference: \\S+ tokens, space-joined windows."""
+    toks = re.findall(r"\S+", text or "")
+    return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+
+def test_ngram_arrays_matches_reference():
+    from pdfz_ray.functions.curation import ngram_arrays
+
+    texts = [
+        "a b c d e",
+        "one two",
+        "",
+        "   leading and trailing   ",
+        "x  double  spaces\there",
+        "exactly three toks",
+    ]
+    grams, parent = ngram_arrays(pa.array(texts), n=3)
+    got = {}
+    for g, p in zip(grams.to_pylist(), parent):
+        got.setdefault(int(p), []).append(g)
+    for i, t in enumerate(texts):
+        assert got.get(i, []) == _ngram_ref(t, 3), f"doc {i}"
+
+
+def test_ngram_arrays_no_cross_doc_grams():
+    from pdfz_ray.functions.curation import ngram_arrays
+
+    grams, parent = ngram_arrays(pa.array(["p q r", "s t u"]), n=2)
+    by_doc = {0: [], 1: []}
+    for g, p in zip(grams.to_pylist(), parent):
+        by_doc[int(p)].append(g)
+    assert by_doc[0] == ["p q", "q r"]
+    assert by_doc[1] == ["s t", "t u"]  # no "r s" bridging the boundary
+
+
+def test_decontaminate_crafted_corpus(ray_session):
+    import ray.data
+
+    from pdfz_ray.functions.curation import decontaminate
+
+    # doc 0 is the "benchmark" (0 % 23 == 0); doc 24 copies one of its
+    # 3-grams, doc 25 shares none, doc 46 (also bench) overlaps itself
+    rows = [
+        {"doc_id": 0, "text": "alpha beta gamma delta"},
+        {"doc_id": 24, "text": "xx alpha beta gamma yy"},
+        {"doc_id": 25, "text": "totally different words here"},
+        {"doc_id": 46, "text": "alpha beta gamma"},
+    ]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    out = decontaminate(ds, n=3, modulus=23).to_pandas()
+    got = dict(zip(out["doc_id"], out["n_overlap"]))
+    # bench grams: {alpha beta gamma, beta gamma delta} ∪ {alpha beta gamma}
+    assert got[0] == 2  # bench doc matches itself fully
+    assert got[24] == 1  # one shared distinct gram
+    assert got[46] == 1
+    assert 25 not in got  # clean doc is absent
+
+
+def test_pii_redact_crafted(ray_session):
+    import ray.data
+
+    from pdfz_ray.functions.curation import pii_redact_batch
+
+    rows = [
+        {"doc_id": 1, "text": "mail me at jo.doe+x@test.org or 10.0.0.1 now"},
+        {"doc_id": 2, "text": "call 555-123-4567 twice: 555-123-4567"},
+        {"doc_id": 3, "text": "no pii here"},
+    ]
+    out = pii_redact_batch(pa.Table.from_pylist(rows)).to_pylist()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1]["n_emails"] == 1 and by_id[1]["n_ipv4"] == 1
+    assert by_id[1]["redacted"] == "mail me at <EMAIL> or <IP> now"
+    assert by_id[2]["n_phones"] == 2
+    assert by_id[2]["redacted"] == "call <PHONE> twice: <PHONE>"
+    assert by_id[3]["redacted"] == "no pii here"
+    assert (
+        by_id[3]["n_emails"] == by_id[3]["n_ipv4"] == by_id[3]["n_phones"] == 0
+    )
+
+
+def test_pack_sequences_matches_serial_scan(ray_session):
+    """Distributed two-phase prefix scan == a single-process cumsum, and
+    the result is invariant to the bucket size (the only parallelism
+    knob)."""
+    import ray.data
+
+    from pdfz_ray.functions.curation import pack_sequences
+
+    rng = np.random.default_rng(7)
+    rows = [
+        {"doc_id": int(i), "text": " ".join(["w"] * int(rng.integers(1, 40)))}
+        for i in range(200)
+    ]
+    tbl = pa.Table.from_pylist(rows)
+    n = np.array([len(r["text"].split()) for r in rows])
+    prev = np.concatenate(([0], np.cumsum(n[:-1])))
+    budget = 64
+    expect = {
+        r["doc_id"]: (int(p) // budget, int(p) % budget)
+        for r, p in zip(rows, prev)
+    }
+    for bucket_size in (16, 1 << 12):
+        ds = ray.data.from_arrow(tbl).repartition(5)
+        out = pack_sequences(ds, budget=budget, bucket_size=bucket_size).to_pandas()
+        got = {
+            int(r.doc_id): (int(r.pack_id), int(r.pack_offset))
+            for r in out.itertuples()
+        }
+        assert got == expect, f"bucket_size={bucket_size}"
+
+
+def test_hash_sample_deterministic_and_stratified(ray_session):
+    import ray.data
+
+    from pdfz_ray.functions.curation import hash_sample_batch
+
+    ds = ray.data.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    a = ds.map_batches(hash_sample_batch, batch_format="pyarrow").to_pandas()
+    b = ds.map_batches(hash_sample_batch, batch_format="pyarrow").to_pandas()
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])  # run-to-run stable
+    # src0 is boosted to 50% vs 10% default — its sample share must be
+    # visibly larger (corpus is 500 docs / 20 sources; loose bounds)
+    full = ds.to_pandas()
+    src0_total = (full["source"] == "src0").sum()
+    if src0_total >= 10:
+        src0_rate = (a["source"] == "src0").sum() / src0_total
+        rest_rate = (a["source"] != "src0").sum() / (len(full) - src0_total)
+        assert src0_rate > rest_rate
+
+
+def test_revenue_by_nation_vs_duckdb(ray_session):
+    import duckdb
+
+    from pdfz_ray.functions.analytics import revenue_by_nation
+
+    got = revenue_by_nation(SF).sort_values("n_name").reset_index(drop=True)
+    con = duckdb.connect()
+    want = con.execute(
+        f"""
+        SELECT n_name,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * CAST(round((1 - l_discount) * 100) AS BIGINT))
+                    AS BIGINT) AS revenue_c4
+        FROM read_parquet('{SF}/lineitem.parquet') l
+        JOIN read_parquet('{SF}/orders.parquet') o ON l_orderkey = o_orderkey
+        JOIN read_parquet('{SF}/customer.parquet') c ON o_custkey = c_custkey
+        JOIN read_parquet('{SF}/nation.parquet') n ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_name
+        """
+    ).df()
+    assert got["n_name"].tolist() == want["n_name"].tolist()
+    assert got["revenue_c4"].tolist() == want["revenue_c4"].tolist()
