@@ -635,6 +635,16 @@ def _q_pack_sequences(sf_dir: str):
     return pack_sequences(_docs_table(sf_dir), budget=512)
 
 
+def _q_repetition_stats(sf_dir: str):
+    """Gopher-style repetition signals (duplicate 2-gram occurrence
+    counts) per doc."""
+    from pdfz_ray.functions.curation import repetition_stats_batch
+
+    return _docs_table(sf_dir).map_batches(
+        repetition_stats_batch, batch_format="pyarrow"
+    )
+
+
 def _q_hash_sample(sf_dir: str):
     import ray.data
 
@@ -713,6 +723,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": _q_pii_redact,
         "pack_sequences": _q_pack_sequences,
         "hash_sample": _q_hash_sample,
+        "repetition_stats": _q_repetition_stats,
     }
 
 
@@ -1303,6 +1314,25 @@ FROM media_ok
             FROM documents
             WHERE substr(md5(text), 1, 4) <
                   CASE WHEN source = 'src0' THEN '8000' ELSE '1999' END
+        """,
+        # Gopher-style repetition signals over 2-grams; docs with < 2
+        # tokens have no grams and emit no row on either side
+        "repetition_stats": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents
+            ),
+            g2 AS (
+              SELECT doc_id,
+                     unnest(list_transform(generate_series(1, len(w) - 1),
+                            i -> w[i] || ' ' || w[i+1])) AS gram
+              FROM toks
+            ),
+            cnt AS (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY 1, 2)
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_grams,
+                   CAST(max(c) AS BIGINT) AS max_gram_count,
+                   CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup_gram
+            FROM cnt GROUP BY doc_id
         """,
     }
     # the distributed label-propagation variant must equal the union-find result

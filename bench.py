@@ -188,6 +188,26 @@ def run_bench(sf_dir: str, num_cpus: int, n_docs: int, replicas: int) -> dict:
         lambda: _docs().map_batches(simhash_sign_task, batch_format="pyarrow").count(),
     )
 
+    # 7) corpus curation (round-2 additions): contamination scan against a
+    # broadcast benchmark gram set, distributed prefix-scan packing, RE2
+    # PII sweep, and the Q5-shaped three-table join
+    from pdfz_ray.functions.analytics import revenue_by_nation
+    from pdfz_ray.functions.curation import (
+        decontaminate,
+        pack_sequences,
+        pii_redact_batch,
+    )
+
+    timed("decontaminate", lambda: decontaminate(_docs()).count())
+    timed("pack_sequences", lambda: pack_sequences(_docs()).count())
+    timed(
+        "pii_redact",
+        lambda: _docs()
+        .map_batches(pii_redact_batch, batch_format="pyarrow")
+        .count(),
+    )
+    timed("revenue_by_nation", lambda: revenue_by_nation(sf_dir))
+
     # kernel-level speedup: vectorized mod-2^64 poly hash vs the round-1
     # per-byte Python loop (mod 2^61-1), same normalized input, driver-side
     def _kernel_speedup() -> float:

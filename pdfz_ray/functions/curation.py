@@ -290,3 +290,44 @@ def hash_sample_batch(batch: pa.Table, rates: dict | None = None) -> pa.Table:
     )
     keep = pa.array(buckets < thresh)
     return batch.select(["doc_id", "source"]).filter(keep)
+
+
+def repetition_stats_batch(batch: pa.Table, n: int = 2) -> pa.Table:
+    """Repetition-quality signals per doc (the Gopher-style "fraction of
+    tokens in duplicated n-grams" filter family, integer-exact):
+
+      n_grams      total n-gram occurrences
+      max_gram_count  occurrences of the doc's most frequent n-gram
+      n_dup_gram   occurrences belonging to grams that appear > 1 time
+
+    Docs with no n-grams (< n tokens) emit no row (mirrors the SQL twin's
+    GROUP BY over the gram table). All Arrow group_by kernels — the
+    per-doc distinct-gram counting never leaves the batch.
+    """
+    grams, parent = ngram_arrays(batch.column("text"), n)
+    empty = pa.Table.from_arrays(
+        [pa.array([], pa.int64())] * 4,
+        names=["doc_id", "n_grams", "max_gram_count", "n_dup_gram"],
+    )
+    if len(grams) == 0:
+        return empty
+    pairs = pa.Table.from_arrays([pa.array(parent), grams], names=["p", "g"])
+    cnt = pairs.group_by(["p", "g"]).aggregate([("g", "count")])
+    c = pc.cast(cnt.column("g_count"), pa.int64())
+    dup = pc.if_else(pc.greater(c, 1), c, pa.scalar(0, pa.int64()))
+    cnt2 = pa.Table.from_arrays(
+        [cnt.column("p"), c, dup], names=["p", "c", "dup"]
+    )
+    agg = cnt2.group_by(["p"]).aggregate(
+        [("c", "sum"), ("c", "max"), ("dup", "sum")]
+    )
+    doc_ids = batch.column("doc_id").take(agg.column("p"))
+    return pa.Table.from_arrays(
+        [
+            doc_ids,
+            pc.cast(agg.column("c_sum"), pa.int64()),
+            pc.cast(agg.column("c_max"), pa.int64()),
+            pc.cast(agg.column("dup_sum"), pa.int64()),
+        ],
+        names=["doc_id", "n_grams", "max_gram_count", "n_dup_gram"],
+    )

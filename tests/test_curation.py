@@ -143,6 +143,27 @@ def test_hash_sample_deterministic_and_stratified(ray_session):
         assert src0_rate > rest_rate
 
 
+def test_repetition_stats_crafted():
+    from pdfz_ray.functions.curation import repetition_stats_batch
+
+    rows = [
+        {"doc_id": 1, "text": "go go go go"},  # grams: 3× "go go"
+        {"doc_id": 2, "text": "a b a b a"},  # "a b"×2, "b a"×2
+        {"doc_id": 3, "text": "all unique words here"},
+        {"doc_id": 4, "text": "single"},  # no 2-grams → no row
+    ]
+    out = repetition_stats_batch(pa.Table.from_pylist(rows)).to_pylist()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1] == {
+        "doc_id": 1, "n_grams": 3, "max_gram_count": 3, "n_dup_gram": 3,
+    }
+    assert by_id[2] == {
+        "doc_id": 2, "n_grams": 4, "max_gram_count": 2, "n_dup_gram": 4,
+    }
+    assert by_id[3]["max_gram_count"] == 1 and by_id[3]["n_dup_gram"] == 0
+    assert 4 not in by_id
+
+
 def test_revenue_by_nation_vs_duckdb(ray_session):
     import duckdb
 
