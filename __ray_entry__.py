@@ -645,6 +645,14 @@ def _q_repetition_stats(sf_dir: str):
     )
 
 
+def _q_doc_rarity(sf_dir: str):
+    """Rarest term per doc via a corpus-DF broadcast (global stat →
+    per-record annotation)."""
+    from pdfz_ray.functions.curation import doc_rarity
+
+    return doc_rarity(_docs_table(sf_dir))
+
+
 def _q_hash_sample(sf_dir: str):
     import ray.data
 
@@ -724,6 +732,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _q_pack_sequences,
         "hash_sample": _q_hash_sample,
         "repetition_stats": _q_repetition_stats,
+        "doc_rarity": _q_doc_rarity,
     }
 
 
@@ -1333,6 +1342,24 @@ FROM media_ok
                    CAST(max(c) AS BIGINT) AS max_gram_count,
                    CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup_gram
             FROM cnt GROUP BY doc_id
+        """,
+        # rarest term per doc (lowest document frequency, lexicographic
+        # tie-break) — integer-exact global-stat annotation
+        "doc_rarity": r"""
+            WITH toks AS (
+              SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term
+              FROM documents
+            ),
+            dt AS (SELECT DISTINCT doc_id, term FROM toks),
+            df AS (SELECT term, count(*) AS df FROM dt GROUP BY term)
+            SELECT doc_id, term AS rarest_term, CAST(df AS BIGINT) AS term_df
+            FROM (
+              SELECT d.doc_id, d.term, f.df,
+                     row_number() OVER (PARTITION BY d.doc_id
+                                        ORDER BY f.df, d.term) AS rn
+              FROM dt d JOIN df f USING (term)
+            )
+            WHERE rn = 1
         """,
     }
     # the distributed label-propagation variant must equal the union-find result

@@ -331,3 +331,102 @@ def repetition_stats_batch(batch: pa.Table, n: int = 2) -> pa.Table:
         ],
         names=["doc_id", "n_grams", "max_gram_count", "n_dup_gram"],
     )
+
+
+def doc_rarity(ds: "ray.data.Dataset", max_df: int = 0) -> "ray.data.Dataset":
+    """Per-doc rarity annotation: each document's rarest term (lowest
+    corpus document frequency; ties broken lexicographically) and that
+    term's DF — the "global statistic → per-record annotation" pattern
+    (IDF scoring, rarity-based curation) with integer-exact outputs.
+
+    Phase 1 computes corpus document frequencies with per-batch distinct
+    terms (the partial combiner: each batch emits each (term) once per
+    containing doc, pre-deduped), then a groupby-count whose shuffle is
+    bounded by vocabulary size, not corpus size. Phase 2 broadcasts the
+    DF table once (``ray.put``) and streams docs through a vectorized
+    argmin lookup. Docs with no tokens emit no row."""
+    import ray
+
+    def distinct_terms(batch: pa.Table) -> pa.Table:
+        toks, parent = _doc_tokens(batch.column("text"))
+        if len(toks) == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.string())],
+                names=["p", "term"],
+            )
+        pairs = pa.Table.from_arrays([pa.array(parent), toks], names=["p", "term"])
+        # p is batch-local but each doc lives in exactly one batch, so the
+        # global (doc, term) pairs are exact; only terms shuffle
+        return pairs.group_by(["p", "term"]).aggregate([]).select(["term"])
+
+    from ray.data.aggregate import Count
+
+    df_tbl = (
+        ds.map_batches(distinct_terms, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Count(alias_name="df"))
+        .to_pandas()
+    )
+    # vocabulary broadcast: sorted term array + df array (lexicographic
+    # order doubles as the tie-break order)
+    terms = pa.array(df_tbl["term"].astype(str).sort_values(), pa.string())
+    df_sorted = df_tbl.set_index("term")["df"].loc[terms.to_pylist()].to_numpy()
+    ref = ray.put((terms, df_sorted.astype(np.int64)))
+
+    def annotate(batch: pa.Table) -> pa.Table:
+        vocab, dfs = ray.get(ref)
+        empty = pa.Table.from_arrays(
+            [
+                pa.array([], pa.int64()),
+                pa.array([], pa.string()),
+                pa.array([], pa.int64()),
+            ],
+            names=["doc_id", "rarest_term", "term_df"],
+        )
+        if batch.num_rows == 0:
+            return empty
+        toks, parent = _doc_tokens(batch.column("text"))
+        if len(toks) == 0:
+            return empty
+        idx = pc.index_in(toks, value_set=vocab).to_numpy(zero_copy_only=False)
+        tok_df = dfs[idx.astype(np.int64)]
+        # per-doc argmin of (df, vocab index): lexsort by primary df then
+        # vocab index gives the tie-broken minimum at each doc's first slot
+        order = np.lexsort((idx, tok_df, parent))
+        p_sorted = parent[order]
+        first = np.concatenate(([True], p_sorted[1:] != p_sorted[:-1]))
+        sel = order[first]
+        doc_ids = batch.column("doc_id").take(pa.array(parent[sel]))
+        best_idx = idx[sel].astype(np.int64)
+        return pa.Table.from_arrays(
+            [
+                doc_ids,
+                vocab.take(pa.array(best_idx)),
+                pa.array(tok_df[sel].astype(np.int64)),
+            ],
+            names=["doc_id", "rarest_term", "term_df"],
+        )
+
+    return ds.map_batches(annotate, batch_format="pyarrow")
+
+
+def _doc_tokens(text_col) -> tuple[pa.Array, np.ndarray]:
+    """(flat \\S+ tokens, parent row indices) — vectorized; empty docs
+    contribute no tokens."""
+    text = pc.fill_null(text_col, "")
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    trimmed = pc.replace_substring_regex(text, pattern=_TRIM, replacement="")
+    toks = pc.split_pattern_regex(trimmed, pattern=_TOKEN_SPLIT)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    if len(flat) == 0:
+        return pa.array([], pa.string()), np.zeros(0, np.int64)
+    parent = pc.list_parent_indices(toks).to_numpy().astype(np.int64)
+    # drop the single empty token an empty doc produces after trim+split
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    if not nonempty.all():
+        flat = flat.filter(pa.array(nonempty))
+        parent = parent[nonempty]
+    return flat, parent

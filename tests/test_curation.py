@@ -164,6 +164,25 @@ def test_repetition_stats_crafted():
     assert 4 not in by_id
 
 
+def test_doc_rarity_crafted(ray_session):
+    import ray.data
+
+    from pdfz_ray.functions.curation import doc_rarity
+
+    # DF: common=3, mid=2, rare1=1, rare2=1, aaa=1
+    rows = [
+        {"doc_id": 1, "text": "common mid rare1"},
+        {"doc_id": 2, "text": "common mid aaa"},  # aaa vs mid: df tie → lex
+        {"doc_id": 3, "text": "common rare2 rare2"},  # dup token, df still 1
+    ]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(2)
+    out = doc_rarity(ds).to_pandas()
+    got = {
+        int(r.doc_id): (r.rarest_term, int(r.term_df)) for r in out.itertuples()
+    }
+    assert got == {1: ("rare1", 1), 2: ("aaa", 1), 3: ("rare2", 1)}
+
+
 def test_revenue_by_nation_vs_duckdb(ray_session):
     import duckdb
 
