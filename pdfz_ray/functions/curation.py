@@ -94,62 +94,59 @@ def benchmark_gram_set(
     return pa.array(parts["gram"], pa.string()).unique()
 
 
-class DecontaminateStage:
-    """Flag corpus docs sharing any word n-gram with the benchmark set —
-    the train/test-contamination scan every serious pretraining pipeline
-    runs. The gram set is fetched from the object store ONCE per actor
-    (``__init__``), so per-batch work is one vectorized ``is_in`` plus an
-    Arrow distinct-count; emits (doc_id, n_overlap) for contaminated docs
-    (n_overlap = DISTINCT overlapping grams)."""
-
-    def __init__(self, bench_ref, n: int = 3):
+def decontaminate_batch(batch: pa.Table, bench_ref=None, n: int = 3) -> pa.Table:
+    """Flag the batch's docs sharing any word n-gram with the benchmark set
+    — the train/test-contamination scan every serious pretraining pipeline
+    runs. One vectorized ``is_in`` plus an Arrow distinct-count per batch;
+    emits (doc_id, n_overlap) for contaminated docs only (n_overlap =
+    DISTINCT overlapping grams). ``bench_ref`` may be the gram array itself
+    or a ``ray.put`` ref (resolved zero-copy from the local plasma store —
+    task mode beats a 4-actor pool here, same finding as the signer
+    stages)."""
+    bench = bench_ref
+    if not isinstance(bench, pa.Array):
         import ray
 
-        self.bench = (
-            ray.get(bench_ref) if not isinstance(bench_ref, pa.Array) else bench_ref
-        )
-        self.n = n
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        empty = pa.Table.from_arrays(
-            [pa.array([], pa.int64()), pa.array([], pa.int64())],
-            names=["doc_id", "n_overlap"],
-        )
-        if batch.num_rows == 0:
-            return empty
-        grams, parent = ngram_arrays(batch.column("text"), self.n)
-        if len(grams) == 0:
-            return empty
-        hits = pc.is_in(grams, value_set=self.bench).to_numpy(zero_copy_only=False)
-        if not hits.any():
-            return empty
-        sel = pa.array(hits)
-        pairs = pa.Table.from_arrays(
-            [pa.array(parent[hits]), grams.filter(sel)], names=["p", "g"]
-        )
-        distinct = pairs.group_by(["p", "g"]).aggregate([])
-        counts = distinct.group_by(["p"]).aggregate([("g", "count")])
-        doc_ids = batch.column("doc_id").take(counts.column("p"))
-        return pa.Table.from_arrays(
-            [doc_ids, pc.cast(counts.column("g_count"), pa.int64())],
-            names=["doc_id", "n_overlap"],
-        )
+        bench = ray.get(bench_ref)
+    empty = pa.Table.from_arrays(
+        [pa.array([], pa.int64()), pa.array([], pa.int64())],
+        names=["doc_id", "n_overlap"],
+    )
+    if batch.num_rows == 0:
+        return empty
+    grams, parent = ngram_arrays(batch.column("text"), n)
+    if len(grams) == 0:
+        return empty
+    hits = pc.is_in(grams, value_set=bench).to_numpy(zero_copy_only=False)
+    if not hits.any():
+        return empty
+    sel = pa.array(hits)
+    pairs = pa.Table.from_arrays(
+        [pa.array(parent[hits]), grams.filter(sel)], names=["p", "g"]
+    )
+    distinct = pairs.group_by(["p", "g"]).aggregate([])
+    counts = distinct.group_by(["p"]).aggregate([("g", "count")])
+    doc_ids = batch.column("doc_id").take(counts.column("p"))
+    return pa.Table.from_arrays(
+        [doc_ids, pc.cast(counts.column("g_count"), pa.int64())],
+        names=["doc_id", "n_overlap"],
+    )
 
 
 def decontaminate(
     ds: "ray.data.Dataset", n: int = 3, modulus: int = 23
 ) -> "ray.data.Dataset":
     """End-to-end decontamination scan: build + broadcast the benchmark
-    gram set, then stream the corpus through the membership stage (actor
-    pool so the set is materialized once per worker, not per batch)."""
+    gram set once (``ray.put``), then stream the corpus through the
+    membership kernel as plain tasks (full worker-pool parallelism; the
+    gram array is resolved zero-copy from plasma per task)."""
     import ray
 
     bench_ref = ray.put(benchmark_gram_set(ds, n=n, modulus=modulus))
     return ds.map_batches(
-        DecontaminateStage,
-        fn_constructor_kwargs={"bench_ref": bench_ref, "n": n},
+        decontaminate_batch,
+        fn_kwargs={"bench_ref": bench_ref, "n": n},
         batch_format="pyarrow",
-        concurrency=(1, 4),
     )
 
 

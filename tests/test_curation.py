@@ -11,8 +11,10 @@ SF = "/root/testdata/sf0.001"
 
 
 def _ngram_ref(text: str, n: int) -> list[str]:
-    """Independent reference: \\S+ tokens, space-joined windows."""
-    toks = re.findall(r"\S+", text or "")
+    """Independent reference: \\S+ tokens, space-joined windows. re.ASCII
+    matches RE2's ASCII-only \\s (pyarrow + DuckDB); Python's default
+    Unicode \\s would also swallow NBSP/U+2028 and diverge."""
+    toks = re.findall(r"\S+", text or "", flags=re.ASCII)
     return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
 
 
@@ -33,6 +35,34 @@ def test_ngram_arrays_matches_reference():
         got.setdefault(int(p), []).append(g)
     for i, t in enumerate(texts):
         assert got.get(i, []) == _ngram_ref(t, 3), f"doc {i}"
+
+
+def test_ngram_arrays_property_random_texts():
+    """Random unicode docs (incl. exotic whitespace): the vectorized gram
+    builder must agree with the per-doc \\S+ reference for every doc."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pdfz_ray.functions.curation import ngram_arrays
+
+    texts_st = st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab \t\n  é漢 "), max_size=30
+        ),
+        max_size=8,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(texts=texts_st, n=st.integers(2, 4))
+    def check(texts, n):
+        grams, parent = ngram_arrays(pa.array(texts, pa.string()), n=n)
+        got = {}
+        for g, p in zip(grams.to_pylist(), parent):
+            got.setdefault(int(p), []).append(g)
+        for i, t in enumerate(texts):
+            assert got.get(i, []) == _ngram_ref(t, n), (i, t, n)
+
+    check()
 
 
 def test_ngram_arrays_no_cross_doc_grams():
