@@ -214,7 +214,10 @@ def pack_sequences(
             names=["doc_id", "bucket", "n_tokens"],
         )
 
-    narrow = ds.map_batches(tokens_and_bucket, batch_format="pyarrow")
+    # materialize the NARROW projection once (24 bytes/doc in the object
+    # store) so phase A and phase B don't each re-read + re-tokenize the
+    # full corpus — the standard reuse cache, never the payload text
+    narrow = ds.map_batches(tokens_and_bucket, batch_format="pyarrow").materialize()
 
     def bucket_partial(batch: pa.Table) -> pa.Table:
         g = batch.select(["bucket", "n_tokens"]).group_by(["bucket"]).aggregate(
