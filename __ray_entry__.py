@@ -645,6 +645,13 @@ def _q_repetition_stats(sf_dir: str):
     )
 
 
+def _q_quality_gate_quantile(sf_dir: str):
+    """Corpus-relative gate: docs at/above the exact P25 token count."""
+    from pdfz_ray.functions.curation import quality_gate_quantile
+
+    return quality_gate_quantile(_docs_table(sf_dir), pct=25)
+
+
 def _q_doc_rarity(sf_dir: str):
     """Rarest term per doc via a corpus-DF broadcast (global stat →
     per-record annotation)."""
@@ -733,6 +740,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_sample": _q_hash_sample,
         "repetition_stats": _q_repetition_stats,
         "doc_rarity": _q_doc_rarity,
+        "quality_gate_quantile": _q_quality_gate_quantile,
     }
 
 
@@ -1360,6 +1368,26 @@ FROM media_ok
               FROM dt d JOIN df f USING (term)
             )
             WHERE rn = 1
+        """,
+        # exact P25 threshold: smallest token count whose cumulative doc
+        # count reaches ceil(25% of docs) — same walk as the Ray histogram
+        "quality_gate_quantile": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+              FROM documents
+            ),
+            h AS (SELECT n_tokens AS v, count(*) AS c FROM t GROUP BY 1),
+            cum AS (
+              SELECT v, sum(c) OVER (ORDER BY v) AS cum,
+                     (SELECT count(*) FROM t) AS total
+              FROM h
+            ),
+            thresh AS (
+              SELECT min(v) AS p25 FROM cum
+              WHERE cum >= CAST(ceil(total * 25 / 100.0) AS BIGINT)
+            )
+            SELECT doc_id, n_tokens FROM t, thresh WHERE n_tokens >= p25
         """,
     }
     # the distributed label-propagation variant must equal the union-find result

@@ -430,3 +430,57 @@ def _doc_tokens(text_col) -> tuple[pa.Array, np.ndarray]:
         flat = flat.filter(pa.array(nonempty))
         parent = parent[nonempty]
     return flat, parent
+
+
+def quality_gate_quantile(
+    ds: "ray.data.Dataset", pct: int = 25
+) -> "ray.data.Dataset":
+    """Corpus-relative quality gate: keep documents whose token count is at
+    or above the exact corpus ``pct``-th percentile (threshold = smallest
+    value whose cumulative count reaches ceil(pct% of docs) — the same
+    walk as ``analytics.orders_price_quantiles``).
+
+    Composition shape: narrow (doc_id, n_tokens) projection materialized
+    once → value-count compaction (shuffle bounded by distinct token
+    counts, not docs) → driver walks the tiny histogram → threshold
+    broadcast into a vectorized filter over the SAME narrow table. The
+    text column is tokenized once and never shuffles."""
+    import ray
+
+    def tokens(batch: pa.Table) -> pa.Table:
+        n = pc.cast(
+            pc.count_substring_regex(pc.fill_null(batch.column("text"), ""), r"\S+"),
+            pa.int64(),
+        )
+        return pa.Table.from_arrays(
+            [batch.column("doc_id"), n], names=["doc_id", "n_tokens"]
+        )
+
+    narrow = ds.map_batches(tokens, batch_format="pyarrow").materialize()
+
+    def value_counts(batch: pa.Table) -> pa.Table:
+        g = batch.select(["n_tokens"]).group_by(["n_tokens"]).aggregate(
+            [("n_tokens", "count")]
+        )
+        return g.rename_columns(["v", "c"])
+
+    from ray.data.aggregate import Sum
+
+    hist = (
+        narrow.map_batches(value_counts, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+        .sort_values("v")
+    )
+    cum = hist["c"].cumsum().to_numpy()
+    total = int(cum[-1]) if len(cum) else 0
+    if total == 0:
+        return narrow
+    target = -(-pct * total // 100)  # ceil(pct/100 * total) in ints
+    thresh = int(hist["v"].iloc[int(np.searchsorted(cum, target))])
+
+    def gate(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch.column("n_tokens"), thresh))
+
+    return narrow.map_batches(gate, batch_format="pyarrow")

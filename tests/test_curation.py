@@ -213,6 +213,21 @@ def test_doc_rarity_crafted(ray_session):
     assert got == {1: ("rare1", 1), 2: ("aaa", 1), 3: ("rare2", 1)}
 
 
+def test_quality_gate_quantile_crafted(ray_session):
+    import ray.data
+
+    from pdfz_ray.functions.curation import quality_gate_quantile
+
+    # token counts 1..10; P25 over 10 docs → target=ceil(2.5)=3 → thresh=3
+    rows = [
+        {"doc_id": i, "text": " ".join(["w"] * i)} for i in range(1, 11)
+    ]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(3)
+    out = quality_gate_quantile(ds, pct=25).to_pandas()
+    assert sorted(out["doc_id"]) == list(range(3, 11))
+    assert (out["n_tokens"] >= 3).all()
+
+
 def test_revenue_by_nation_vs_duckdb(ray_session):
     import duckdb
 
