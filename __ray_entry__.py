@@ -398,6 +398,17 @@ def _q_knn_lsh(sf_dir: str):
     return knn_lsh(_embeddings(sf_dir), mat, ids, k=10, tables=16)
 
 
+def _q_knn_pq(sf_dir: str):
+    """Product-quantization ADC search with in-batch exact rerank; at the
+    default rerank width the result equals brute force on this corpus
+    (measured at sf0.001 and sf0.01), so the query carries the exact
+    oracle; the no-rerank ADC recall floor is asserted in pytest."""
+    from pdfz_ray.functions.similarity import knn_pq, load_query_matrix
+
+    ids, mat = load_query_matrix(sf_dir, n_queries=5)
+    return knn_pq(_embeddings(sf_dir), mat, ids, k=10)
+
+
 def _q_sessionize(sf_dir: str):
     from pdfz_ray.functions.windows import sessionize
 
@@ -708,6 +719,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "knn_brute": _q_knn_brute,
         "knn_lsh": _q_knn_lsh,
+        "knn_pq": _q_knn_pq,
         # stream-shaped windows / distinct (events table)
         "sessionize": _q_sessionize,
         "sessionize_bucketed": _q_sessionize_bucketed,
@@ -1396,4 +1408,6 @@ FROM media_ok
     sqls["sessionize_bucketed"] = sqls["sessionize"]
     # at 16 hash tables the LSH top-k equals brute force on this corpus
     sqls["knn_lsh"] = sqls["knn_brute"]
+    # PQ-ADC with exact rerank (default width) equals brute force here
+    sqls["knn_pq"] = sqls["knn_brute"]
     return sqls

@@ -409,3 +409,36 @@ def test_knn_ivf_recall(emb_ds):
     # full probe degenerates to exact brute force
     full = knn_ivf(emb_ds, mat, ids, k=10, nlist=8, nprobe=8).to_pandas()
     assert full.reset_index(drop=True).equals(brute.reset_index(drop=True))
+
+
+def test_knn_pq_rerank_exact_and_adc_recall(emb_ds):
+    """PQ-ADC + in-batch exact rerank equals brute force at the default
+    rerank width; the rerank-free ADC ordering (rerank=1) still recovers
+    most of the true top-k; codes are deterministic (seeded kmeans)."""
+    from pdfz_ray.functions.similarity import (
+        knn_brute,
+        knn_pq,
+        load_query_matrix,
+        pq_encode_batch,
+        pq_train,
+    )
+
+    ids, mat = load_query_matrix(SF, n_queries=5)
+    brute = knn_brute(emb_ds, mat, ids, k=10).to_pandas()
+    p1 = knn_pq(emb_ds, mat, ids, k=10).to_pandas()
+    p2 = knn_pq(emb_ds, mat, ids, k=10).to_pandas()
+    assert p1.reset_index(drop=True).equals(p2.reset_index(drop=True))
+    assert p1.reset_index(drop=True).equals(brute.reset_index(drop=True))
+    # narrow rerank: pure ADC ordering survives with decent recall
+    adc = knn_pq(emb_ds, mat, ids, k=10, rerank=1).to_pandas()
+    b = {(r.query_id, r.vec_id) for r in brute.itertuples()}
+    a = {(r.query_id, r.vec_id) for r in adc.itertuples()}
+    assert len(a & b) / len(b) >= 0.5
+    # encode: 8 uint8 codes per 64-dim vector, deterministic
+    import pyarrow.parquet as pq_
+    cb = pq_train(emb_ds)
+    t = pq_.read_table(f"{SF}/embeddings.parquet").slice(0, 100)
+    c1 = pq_encode_batch(t, cb)
+    c2 = pq_encode_batch(t, cb)
+    assert c1.equals(c2)
+    assert c1.column("codes").type.list_size == 8
