@@ -656,6 +656,14 @@ def _q_repetition_stats(sf_dir: str):
     )
 
 
+def _q_curate_corpus(sf_dir: str):
+    """The composed pre-training curation pipeline: P25 token gate ∧
+    5-gram decontamination ∧ exact-dedup winner → split assignment."""
+    from pdfz_ray.functions.curation import curate_corpus
+
+    return curate_corpus(_docs_table(sf_dir), pct=25, n=5, modulus=23)
+
+
 def _q_quality_gate_quantile(sf_dir: str):
     """Corpus-relative gate: docs at/above the exact P25 token count."""
     from pdfz_ray.functions.curation import quality_gate_quantile
@@ -753,6 +761,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": _q_repetition_stats,
         "doc_rarity": _q_doc_rarity,
         "quality_gate_quantile": _q_quality_gate_quantile,
+        "curate_corpus": _q_curate_corpus,
     }
 
 
@@ -1400,6 +1409,53 @@ FROM media_ok
               WHERE cum >= CAST(ceil(total * 25 / 100.0) AS BIGINT)
             )
             SELECT doc_id, n_tokens FROM t, thresh WHERE n_tokens >= p25
+        """,
+        # composed curation: P25 gate ∧ no 5-gram benchmark overlap ∧
+        # exact-dedup winner → md5-bucket split (thresholds = split_assign's)
+        "curate_corpus": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+                     md5(text) AS h
+              FROM documents
+            ),
+            hist AS (SELECT n_tokens AS v, count(*) AS c FROM t GROUP BY 1),
+            cum AS (
+              SELECT v, sum(c) OVER (ORDER BY v) AS cum,
+                     (SELECT count(*) FROM t) AS total
+              FROM hist
+            ),
+            thresh AS (
+              SELECT min(v) AS p25 FROM cum
+              WHERE cum >= CAST(ceil(total * 25 / 100.0) AS BIGINT)
+            ),
+            toks AS (
+              SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents
+            ),
+            grams AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(generate_series(1, len(w) - 4),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+                            || w[i+3] || ' ' || w[i+4])) AS g
+              FROM toks
+            ),
+            bench AS (
+              SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id % 23 = 0
+            ),
+            contaminated AS (
+              SELECT DISTINCT c.doc_id
+              FROM (SELECT doc_id, unnest(g) AS gram FROM grams) c
+              JOIN bench b USING (gram)
+            ),
+            winners AS (SELECT h, min(doc_id) AS w FROM t GROUP BY h)
+            SELECT t.doc_id,
+                   CASE WHEN substr(h, 1, 4) < 'cccc' THEN 'train'
+                        WHEN substr(h, 1, 4) < 'e666' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM t JOIN winners USING (h), thresh
+            WHERE t.n_tokens >= p25
+              AND t.doc_id = winners.w
+              AND t.doc_id NOT IN (SELECT doc_id FROM contaminated)
         """,
     }
     # the distributed label-propagation variant must equal the union-find result

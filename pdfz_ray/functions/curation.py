@@ -484,3 +484,127 @@ def quality_gate_quantile(
         return batch.filter(pc.greater_equal(batch.column("n_tokens"), thresh))
 
     return narrow.map_batches(gate, batch_format="pyarrow")
+
+
+def curate_corpus(
+    ds: "ray.data.Dataset",
+    pct: int = 25,
+    n: int = 5,
+    modulus: int = 23,
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> "ray.data.Dataset":
+    """The composed pre-training curation pipeline in one call: a document
+    survives iff it (a) clears the corpus-P``pct`` token-count gate,
+    (b) shares no word ``n``-gram with the held-out benchmark slice, and
+    (c) is its content's exact-dedup winner (min doc_id per md5); every
+    survivor gets its leakage-safe train/val/test split. Output:
+    (doc_id, split).
+
+    Scale composition — one pass over the text, then narrow-only work:
+      1. a single materialized narrow projection (doc_id, n_tokens,
+         content_hash) — 50 B/doc, text read and hashed ONCE;
+      2. P-threshold from a value-count histogram of the narrow table;
+      3. contaminated ids from the decontamination scan (small at n >= 5:
+         real benchmarks overlap a tiny corpus fraction) → broadcast set;
+      4. duplicate-group winner map from a narrow groupby (only groups
+         with copies > 1 ship back) → broadcast;
+      5. one vectorized filter pass over the narrow table; the split
+         bucket falls out of content_hash's first 4 hex chars (same md5
+         the dedup key already paid for).
+    """
+    import ray
+
+    def narrow_batch(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch.column("text"), "")
+        n_tok = pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64())
+        h = [
+            hashlib.md5((t or "").encode()).hexdigest()
+            for t in text.to_pylist()
+        ]
+        return pa.Table.from_arrays(
+            [batch.column("doc_id"), n_tok, pa.array(h, pa.string())],
+            names=["doc_id", "n_tokens", "content_hash"],
+        )
+
+    narrow = ds.map_batches(narrow_batch, batch_format="pyarrow").materialize()
+
+    # (2) exact percentile threshold from the value-count histogram
+    def value_counts(batch: pa.Table) -> pa.Table:
+        g = batch.select(["n_tokens"]).group_by(["n_tokens"]).aggregate(
+            [("n_tokens", "count")]
+        )
+        return g.rename_columns(["v", "c"])
+
+    from ray.data.aggregate import Count, Min, Sum
+
+    hist = (
+        narrow.map_batches(value_counts, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+        .sort_values("v")
+    )
+    cum = hist["c"].cumsum().to_numpy()
+    total = int(cum[-1]) if len(cum) else 0
+    if total == 0:
+        return ds.map_batches(
+            lambda b: pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.string())],
+                names=["doc_id", "split"],
+            ),
+            batch_format="pyarrow",
+        )
+    target = -(-pct * total // 100)
+    thresh = int(hist["v"].iloc[int(np.searchsorted(cum, target))])
+
+    # (3) contaminated doc ids (small set → broadcast)
+    contaminated = decontaminate(ds, n=n, modulus=modulus).to_pandas()
+    bad_ids = np.sort(contaminated["doc_id"].to_numpy(np.int64))
+
+    # (4) duplicate-group winners: only hashes with > 1 copy come back
+    def only_dups(batch: pa.Table) -> pa.Table:
+        # drop single-copy groups IN THE DATA PLANE: only the (tiny)
+        # multi-copy tail reaches the driver, never one row per distinct
+        # hash of the whole corpus
+        return batch.filter(pc.greater(batch.column("n"), 1))
+
+    dup_groups = (
+        narrow.select_columns(["doc_id", "content_hash"])
+        .groupby("content_hash")
+        .aggregate(Min("doc_id", alias_name="winner"), Count(alias_name="n"))
+        .map_batches(only_dups, batch_format="pyarrow")
+        .to_pandas()
+    )
+    winner_of = (
+        dict(zip(dup_groups["content_hash"], dup_groups["winner"]))
+        if len(dup_groups) and "content_hash" in dup_groups.columns
+        else {}
+    )
+    ref = ray.put((bad_ids, winner_of, thresh))
+
+    lo = (train_pct * 65536) // 100
+    hi = ((train_pct + val_pct) * 65536) // 100
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        bad, winners, thr = ray.get(ref)
+        ids = batch.column("doc_id").to_numpy()
+        keep = batch.column("n_tokens").to_numpy() >= thr
+        pos = np.searchsorted(bad, ids)
+        pos = np.minimum(pos, max(len(bad) - 1, 0))
+        if len(bad):
+            keep &= bad[pos] != ids
+        hashes = batch.column("content_hash").to_pylist()
+        if winners:
+            losers = np.array(
+                [winners.get(h, i) != i for h, i in zip(hashes, ids)], bool
+            )
+            keep &= ~losers
+        buckets = np.array([int(h[:4], 16) for h in hashes], np.int64)
+        split = np.where(buckets < lo, "train", np.where(buckets < hi, "val", "test"))
+        return pa.Table.from_arrays(
+            [pa.array(ids[keep]), pa.array(split[keep])],
+            names=["doc_id", "split"],
+        )
+
+    return narrow.map_batches(finalize, batch_format="pyarrow")

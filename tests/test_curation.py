@@ -228,6 +228,39 @@ def test_quality_gate_quantile_crafted(ray_session):
     assert (out["n_tokens"] >= 3).all()
 
 
+def test_curate_corpus_all_three_gates(ray_session):
+    import hashlib
+
+    import ray.data
+
+    from pdfz_ray.functions.curation import curate_corpus
+
+    bench = "b1 b2 b3 b4 b5 filler words to make this long enough ok"
+    dup = "duplicate content with plenty of tokens one two three four"
+    rows = [
+        {"doc_id": 0, "text": bench},  # benchmark member (0 % 23 == 0)
+        {"doc_id": 1, "text": "x " + bench},  # contaminated (shares 5-gram)
+        {"doc_id": 2, "text": dup},  # dedup winner (min doc_id)
+        {"doc_id": 3, "text": dup},  # dedup loser
+        {"doc_id": 4, "text": "short"},  # fails the P25 token gate
+        {"doc_id": 5, "text": "clean survivor doc alpha beta gamma delta eps"},
+        {"doc_id": 6, "text": "another clean survivor with its own words aa"},
+        {"doc_id": 7, "text": "third clean survivor unique tokens bb cc dd"},
+    ]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(3)
+    out = curate_corpus(ds, pct=25, n=5, modulus=23).to_pandas()
+    ids = set(out["doc_id"])
+    assert 0 not in ids and 1 not in ids  # contaminated (incl. bench itself)
+    assert 2 in ids and 3 not in ids  # winner kept, loser dropped
+    assert 4 not in ids  # below P25 (token counts: 1 vs >=8)
+    assert {5, 6, 7} <= ids
+    # split matches the standalone md5-bucket rule
+    for r in out.itertuples():
+        b = int(hashlib.md5(rows[r.doc_id]["text"].encode()).hexdigest()[:4], 16)
+        expect = "train" if b < 52428 else ("val" if b < 58982 else "test")
+        assert r.split == expect
+
+
 def test_revenue_by_nation_vs_duckdb(ray_session):
     import duckdb
 
