@@ -200,6 +200,9 @@ def run_bench(sf_dir: str, num_cpus: int, n_docs: int, replicas: int) -> dict:
 
     timed("decontaminate", lambda: decontaminate(_docs()).count())
     timed("pack_sequences", lambda: pack_sequences(_docs()).count())
+    from pdfz_ray.functions.curation import curate_corpus
+
+    timed("curate_corpus", lambda: curate_corpus(_docs(), n=5).count())
     timed(
         "pii_redact",
         lambda: _docs()
