@@ -501,12 +501,14 @@ def curate_corpus(
     survivor gets its leakage-safe train/val/test split. Output:
     (doc_id, split).
 
-    Scale composition — one pass over the text, then narrow-only work:
-      1. a single materialized narrow projection (doc_id, n_tokens,
-         content_hash) — 50 B/doc, text read and hashed ONCE;
-      2. P-threshold from a value-count histogram of the narrow table;
-      3. contaminated ids from the decontamination scan (small at n >= 5:
-         real benchmarks overlap a tiny corpus fraction) → broadcast set;
+    Scale composition — TWO passes over the text (the minimum: the
+    benchmark gram set must exist before contamination can be tested),
+    then narrow-only work:
+      1. benchmark gram set built + broadcast (small by construction);
+      2. one fused pass computes the materialized narrow projection
+         (doc_id, n_tokens, content_hash, contaminated) — ~51 B/doc; the
+         text is read, tokenized, hashed, AND membership-tested once;
+      3. P-threshold from a value-count histogram of the narrow table;
       4. duplicate-group winner map from a narrow groupby (only groups
          with copies > 1 ship back) → broadcast;
       5. one vectorized filter pass over the narrow table; the split
@@ -515,16 +517,29 @@ def curate_corpus(
     """
     import ray
 
-    def narrow_batch(batch: pa.Table) -> pa.Table:
+    bench_ref = ray.put(benchmark_gram_set(ds, n=n, modulus=modulus))
+
+    def narrow_batch(batch: pa.Table, bench_ref=bench_ref) -> pa.Table:
         text = pc.fill_null(batch.column("text"), "")
         n_tok = pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64())
         h = [
             hashlib.md5((t or "").encode()).hexdigest()
             for t in text.to_pylist()
         ]
+        bench = ray.get(bench_ref)
+        contaminated = np.zeros(batch.num_rows, bool)
+        grams, parent = ngram_arrays(text, n)
+        if len(grams):
+            hits = pc.is_in(grams, value_set=bench).to_numpy(zero_copy_only=False)
+            contaminated[np.unique(parent[hits])] = True
         return pa.Table.from_arrays(
-            [batch.column("doc_id"), n_tok, pa.array(h, pa.string())],
-            names=["doc_id", "n_tokens", "content_hash"],
+            [
+                batch.column("doc_id"),
+                n_tok,
+                pa.array(h, pa.string()),
+                pa.array(contaminated),
+            ],
+            names=["doc_id", "n_tokens", "content_hash", "contaminated"],
         )
 
     narrow = ds.map_batches(narrow_batch, batch_format="pyarrow").materialize()
@@ -558,10 +573,6 @@ def curate_corpus(
     target = -(-pct * total // 100)
     thresh = int(hist["v"].iloc[int(np.searchsorted(cum, target))])
 
-    # (3) contaminated doc ids (small set → broadcast)
-    contaminated = decontaminate(ds, n=n, modulus=modulus).to_pandas()
-    bad_ids = np.sort(contaminated["doc_id"].to_numpy(np.int64))
-
     # (4) duplicate-group winners: only hashes with > 1 copy come back
     def only_dups(batch: pa.Table) -> pa.Table:
         # drop single-copy groups IN THE DATA PLANE: only the (tiny)
@@ -581,19 +592,16 @@ def curate_corpus(
         if len(dup_groups) and "content_hash" in dup_groups.columns
         else {}
     )
-    ref = ray.put((bad_ids, winner_of, thresh))
+    ref = ray.put((winner_of, thresh))
 
     lo = (train_pct * 65536) // 100
     hi = ((train_pct + val_pct) * 65536) // 100
 
     def finalize(batch: pa.Table) -> pa.Table:
-        bad, winners, thr = ray.get(ref)
+        winners, thr = ray.get(ref)
         ids = batch.column("doc_id").to_numpy()
         keep = batch.column("n_tokens").to_numpy() >= thr
-        pos = np.searchsorted(bad, ids)
-        pos = np.minimum(pos, max(len(bad) - 1, 0))
-        if len(bad):
-            keep &= bad[pos] != ids
+        keep &= ~batch.column("contaminated").to_numpy(zero_copy_only=False)
         hashes = batch.column("content_hash").to_pylist()
         if winners:
             losers = np.array(
