@@ -344,7 +344,13 @@ def doc_rarity(ds: "ray.data.Dataset", max_df: int = 0) -> "ray.data.Dataset":
     containing doc, pre-deduped), then a groupby-count whose shuffle is
     bounded by vocabulary size, not corpus size. Phase 2 broadcasts the
     DF table once (``ray.put``) and streams docs through a vectorized
-    argmin lookup. Docs with no tokens emit no row."""
+    argmin lookup. Docs with no tokens emit no row.
+
+    Scale bound: the driver collect and the broadcast are VOCABULARY-sized
+    (distinct terms), not corpus-sized. For web-scale vocabularies (10^8+
+    terms) cap the broadcast to the df <= D tail — a doc whose terms are
+    all commoner than D then needs the annotate pass to fall back to a
+    hash-partitioned join on term, the same shape phase 1 already uses."""
     import ray
 
     def distinct_terms(batch: pa.Table) -> pa.Table:
