@@ -340,11 +340,15 @@ def _q_orders_join_hash(sf_dir: str):
     broadcast join in orders_by_nation."""
     import ray.data
 
-    orders = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+    from pdfz_ray.functions.analytics import strip_schema_metadata
+
+    orders = strip_schema_metadata(
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
     )
-    cust = ray.data.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    cust = strip_schema_metadata(
+        ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+        )
     )
     joined = orders.join(
         cust,

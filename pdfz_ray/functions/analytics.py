@@ -350,6 +350,15 @@ def lang_distribution(sf_dir: str) -> "pa.Table":
     return df
 
 
+def strip_schema_metadata(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Drop parquet/pandas schema metadata before a hash join — Ray's hash
+    shuffle tries to hash block schemas for deduplication and the pandas
+    metadata dict is unhashable, flooding the log with warnings."""
+    return ds.map_batches(
+        lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
+    )
+
+
 def revenue_by_nation(sf_dir: str, num_partitions: int = 8) -> "pa.Table":
     """TPC-H Q5-shaped revenue rollup: lineitem ⨝ orders (hash join — both
     sides large) → customer/nation broadcast lookups → per-nation revenue.
@@ -386,10 +395,12 @@ def revenue_by_nation(sf_dir: str, num_partitions: int = 8) -> "pa.Table":
 
     rev = line.map_batches(rev_partial, batch_format="pyarrow")
 
-    orders = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet",
-        columns=["o_orderkey", "o_custkey"],
-        override_num_blocks=num_partitions,
+    orders = strip_schema_metadata(
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey"],
+            override_num_blocks=num_partitions,
+        )
     )
     joined = rev.join(
         orders,
