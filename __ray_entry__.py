@@ -526,6 +526,16 @@ def _q_top_terms(sf_dir: str):
     return top_terms(sf_dir, k=20)
 
 
+def _q_heavy_hitters(sf_dir: str):
+    """Sketch-based top-k terms (Count-Min + per-block candidates; no
+    term-keyed shuffle). Estimates are exact at this vocabulary (no
+    full-depth collision), so the query carries top_terms' exact oracle;
+    the never-undercounts invariant is asserted in pytest."""
+    from pdfz_ray.functions.analytics import heavy_hitters
+
+    return heavy_hitters(sf_dir)
+
+
 def _q_lineitem_pricing(sf_dir: str):
     from pdfz_ray.functions.analytics import lineitem_pricing_summary
 
@@ -750,6 +760,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_energy": _q_audio_energy,
         # wide-op analytics (TPC-H-ish tables)
         "top_terms": _q_top_terms,
+        "heavy_hitters": _q_heavy_hitters,
         "lineitem_pricing": _q_lineitem_pricing,
         "orders_by_nation": _q_orders_by_nation,
         "events_hourly": _q_events_hourly,
@@ -1470,4 +1481,6 @@ FROM media_ok
     sqls["knn_lsh"] = sqls["knn_brute"]
     # PQ-ADC with exact rerank (default width) equals brute force here
     sqls["knn_pq"] = sqls["knn_brute"]
+    # CMS estimates are exact at this vocabulary → sketch top-k == exact
+    sqls["heavy_hitters"] = sqls["top_terms"]
     return sqls

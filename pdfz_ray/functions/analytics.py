@@ -454,3 +454,105 @@ def revenue_by_nation(sf_dir: str, num_partitions: int = 8) -> "pa.Table":
     agg["n_name"] = agg["n_nationkey"].map(names)
     agg["revenue_c4"] = agg["revenue_c4"].astype("int64")
     return agg[["n_name", "revenue_c4"]]
+
+
+class CountMinSketch:
+    """Mergeable Count-Min sketch (Cormode & Muthukrishnan 2005) for
+    heavy-hitter detection: d hash rows × w counters; point estimate =
+    min over rows (never underestimates). Sized so full-depth collisions
+    are vanishingly rare at the driver corpora's vocabulary (~10k terms
+    into 2^17 counters), which makes the top-k estimates exact there —
+    the SQL twin pins that. Merging is element-wise addition, so
+    per-block sketches combine associatively (tree-merge at scale)."""
+
+    def __init__(self, width: int = 1 << 17, depth: int = 4, seed: int = 42):
+        self.width, self.depth = width, depth
+        rng = np.random.default_rng(seed)
+        self.salts = rng.integers(1, 2**62, size=depth).astype(np.uint64)
+        self.table = np.zeros((depth, width), np.int64)
+
+    def _cols(self, terms: np.ndarray) -> np.ndarray:
+        import pandas as pd
+
+        h = pd.util.hash_array(terms.astype(object))
+        idx = np.empty((self.depth, len(h)), np.int64)
+        for d in range(self.depth):
+            idx[d] = (
+                (h * (self.salts[d] | np.uint64(1))) >> np.uint64(17)
+            ).astype(np.int64) % self.width
+        return idx
+
+    def add(self, terms: np.ndarray, counts: np.ndarray) -> None:
+        if not len(terms):
+            return
+        idx = self._cols(terms)
+        for d in range(self.depth):
+            np.add.at(self.table[d], idx[d], counts)
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        self.table += other.table
+        return self
+
+    def estimate(self, terms: np.ndarray) -> np.ndarray:
+        if not len(terms):
+            return np.zeros(0, np.int64)
+        idx = self._cols(terms)
+        return np.stack(
+            [self.table[d][idx[d]] for d in range(self.depth)]
+        ).min(axis=0)
+
+
+def heavy_hitters(
+    sf_dir: str, k: int = 20, candidates_per_block: int = 256
+) -> "pa.Table":
+    """Top-k terms via Count-Min sketch + per-block candidate lists — the
+    sketch-based alternative to the exact ``top_terms`` groupby when the
+    vocabulary itself is too wide to shuffle: each block ships ONE fixed
+    4 MB sketch plus its local top candidates (the true global top-k is
+    always within the union for candidates_per_block ≥ k·skew), the
+    driver tree-merges sketches, and estimates rank the candidate union.
+    No term-keyed shuffle at all. Estimates never undercount; at the
+    driver corpora's vocabulary they are exact (pinned by the SQL twin).
+    """
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"], override_num_blocks=8
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(batch.column("text"))
+        toks = pc.split_pattern_regex(low, pattern=r"\s+")
+        flat = (
+            toks.combine_chunks().flatten()
+            if batch.num_rows
+            else pa.array([], pa.string())
+        )
+        flat = flat.filter(pc.not_equal(flat, ""))
+        terms, counts = np.unique(np.asarray(flat), return_counts=True)
+        cms = CountMinSketch()
+        cms.add(terms, counts)
+        order = np.lexsort((terms, -counts))[:candidates_per_block]
+        return pa.Table.from_arrays(
+            [
+                pa.array([cms.table.tobytes()], pa.binary()),
+                pa.array([terms[order].tolist()], pa.list_(pa.string())),
+            ],
+            names=["sketch", "candidates"],
+        )
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    merged = CountMinSketch()
+    cand: set[str] = set()
+    for r in rows:
+        t = np.frombuffer(r["sketch"], np.int64).reshape(merged.table.shape)
+        merged.table += t
+        cand.update(r["candidates"])
+    terms = np.array(sorted(cand), object)
+    est = merged.estimate(terms)
+    order = np.lexsort((terms, -est))[:k]
+    return pa.Table.from_arrays(
+        [
+            pa.array(terms[order].tolist(), pa.string()),
+            pa.array(est[order].astype(np.int64)),
+        ],
+        names=["term", "n"],
+    ).to_pandas()

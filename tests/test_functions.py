@@ -442,3 +442,37 @@ def test_knn_pq_rerank_exact_and_adc_recall(emb_ds):
     c2 = pq_encode_batch(t, cb)
     assert c1.equals(c2)
     assert c1.column("codes").type.list_size == 8
+
+
+def test_cms_heavy_hitters(ray_session):
+    """Count-Min invariants: estimates never undercount true frequencies;
+    merge(a, b) == sketch(a + b); sketch top-k equals the exact groupby
+    top-k on the driver corpus."""
+    import duckdb
+    import numpy as np
+
+    from pdfz_ray.functions.analytics import CountMinSketch, heavy_hitters
+
+    terms = np.array([f"t{i}" for i in range(200)], object)
+    counts = np.arange(1, 201)
+    cms = CountMinSketch()
+    cms.add(terms, counts)
+    assert (cms.estimate(terms) >= counts).all()
+    # mergeability
+    a, b = CountMinSketch(), CountMinSketch()
+    a.add(terms[:100], counts[:100])
+    b.add(terms[100:], counts[100:])
+    a.merge(b)
+    assert (a.estimate(terms) == cms.estimate(terms)).all()
+    # sketch path == exact top-k on the corpus
+    got = heavy_hitters(SF, k=20)
+    want = duckdb.connect().execute(
+        rf"""
+        WITH t AS (SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS term
+                   FROM read_parquet('{SF}/documents.parquet'))
+        SELECT term, count(*) AS n FROM t GROUP BY term
+        ORDER BY n DESC, term LIMIT 20
+        """
+    ).df()
+    assert got["term"].tolist() == want["term"].tolist()
+    assert got["n"].tolist() == want["n"].tolist()
