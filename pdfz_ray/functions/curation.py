@@ -492,65 +492,60 @@ def quality_gate_quantile(
     return narrow.map_batches(gate, batch_format="pyarrow")
 
 
-def curate_corpus(
-    ds: "ray.data.Dataset",
-    pct: int = 25,
-    n: int = 5,
-    modulus: int = 23,
-    train_pct: int = 80,
-    val_pct: int = 10,
-) -> "ray.data.Dataset":
-    """The composed pre-training curation pipeline in one call: a document
-    survives iff it (a) clears the corpus-P``pct`` token-count gate,
-    (b) shares no word ``n``-gram with the held-out benchmark slice, and
-    (c) is its content's exact-dedup winner (min doc_id per md5); every
-    survivor gets its leakage-safe train/val/test split. Output:
-    (doc_id, split).
+def curation_narrow_batch(
+    batch: pa.Table, bench_ref=None, n: int = 5
+) -> pa.Table:
+    """The fused per-batch curation kernel: (doc_id, n_tokens,
+    content_hash, contaminated) from one read of the text — tokenized,
+    hashed, and benchmark-membership-tested in a single pass."""
+    import ray
 
-    Scale composition — TWO passes over the text (the minimum: the
-    benchmark gram set must exist before contamination can be tested),
-    then narrow-only work:
-      1. benchmark gram set built + broadcast (small by construction);
-      2. one fused pass computes the materialized narrow projection
-         (doc_id, n_tokens, content_hash, contaminated) — ~51 B/doc; the
-         text is read, tokenized, hashed, AND membership-tested once;
-      3. P-threshold from a value-count histogram of the narrow table;
-      4. duplicate-group winner map from a narrow groupby (only groups
-         with copies > 1 ship back) → broadcast;
-      5. one vectorized filter pass over the narrow table; the split
-         bucket falls out of content_hash's first 4 hex chars (same md5
-         the dedup key already paid for).
-    """
+    bench = bench_ref if isinstance(bench_ref, pa.Array) else ray.get(bench_ref)
+    text = pc.fill_null(batch.column("text"), "")
+    n_tok = pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64())
+    h = [hashlib.md5((t or "").encode()).hexdigest() for t in text.to_pylist()]
+    contaminated = np.zeros(batch.num_rows, bool)
+    grams, parent = ngram_arrays(text, n)
+    if len(grams):
+        hits = pc.is_in(grams, value_set=bench).to_numpy(zero_copy_only=False)
+        contaminated[np.unique(parent[hits])] = True
+    return pa.Table.from_arrays(
+        [
+            batch.column("doc_id"),
+            n_tok,
+            pa.array(h, pa.string()),
+            pa.array(contaminated),
+        ],
+        names=["doc_id", "n_tokens", "content_hash", "contaminated"],
+    )
+
+
+def curation_state(
+    ds: "ray.data.Dataset", pct: int = 25, n: int = 5, modulus: int = 23
+) -> dict:
+    """Build the (small) shared state every curation consumer needs:
+
+      bench_ref  — ray.put ref of the benchmark gram set (broadcast);
+      narrow     — MATERIALIZED (doc_id, n_tokens, content_hash,
+                   contaminated) projection, ~51 B/doc;
+      thresh     — exact corpus P``pct`` token-count threshold;
+      winner_of  — content_hash → winning doc_id for multi-copy groups
+                   only (filtered in the data plane before the driver
+                   collect — never one row per distinct hash).
+
+    With this state, "does doc X survive curation and which split is it
+    in" is a BATCH-LOCAL predicate (small broadcasts + per-row md5/token
+    math), which is what lets the shard writer re-evaluate it during the
+    payload pass without any corpus-sized survivor broadcast."""
     import ray
 
     bench_ref = ray.put(benchmark_gram_set(ds, n=n, modulus=modulus))
+    narrow = ds.map_batches(
+        curation_narrow_batch,
+        fn_kwargs={"bench_ref": bench_ref, "n": n},
+        batch_format="pyarrow",
+    ).materialize()
 
-    def narrow_batch(batch: pa.Table, bench_ref=bench_ref) -> pa.Table:
-        text = pc.fill_null(batch.column("text"), "")
-        n_tok = pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64())
-        h = [
-            hashlib.md5((t or "").encode()).hexdigest()
-            for t in text.to_pylist()
-        ]
-        bench = ray.get(bench_ref)
-        contaminated = np.zeros(batch.num_rows, bool)
-        grams, parent = ngram_arrays(text, n)
-        if len(grams):
-            hits = pc.is_in(grams, value_set=bench).to_numpy(zero_copy_only=False)
-            contaminated[np.unique(parent[hits])] = True
-        return pa.Table.from_arrays(
-            [
-                batch.column("doc_id"),
-                n_tok,
-                pa.array(h, pa.string()),
-                pa.array(contaminated),
-            ],
-            names=["doc_id", "n_tokens", "content_hash", "contaminated"],
-        )
-
-    narrow = ds.map_batches(narrow_batch, batch_format="pyarrow").materialize()
-
-    # (2) exact percentile threshold from the value-count histogram
     def value_counts(batch: pa.Table) -> pa.Table:
         g = batch.select(["n_tokens"]).group_by(["n_tokens"]).aggregate(
             [("n_tokens", "count")]
@@ -569,17 +564,11 @@ def curate_corpus(
     cum = hist["c"].cumsum().to_numpy()
     total = int(cum[-1]) if len(cum) else 0
     if total == 0:
-        return ds.map_batches(
-            lambda b: pa.Table.from_arrays(
-                [pa.array([], pa.int64()), pa.array([], pa.string())],
-                names=["doc_id", "split"],
-            ),
-            batch_format="pyarrow",
-        )
-    target = -(-pct * total // 100)
-    thresh = int(hist["v"].iloc[int(np.searchsorted(cum, target))])
+        thresh = 0
+    else:
+        target = -(-pct * total // 100)
+        thresh = int(hist["v"].iloc[int(np.searchsorted(cum, target))])
 
-    # (4) duplicate-group winners: only hashes with > 1 copy come back
     def only_dups(batch: pa.Table) -> pa.Table:
         # drop single-copy groups IN THE DATA PLANE: only the (tiny)
         # multi-copy tail reaches the driver, never one row per distinct
@@ -598,27 +587,83 @@ def curate_corpus(
         if len(dup_groups) and "content_hash" in dup_groups.columns
         else {}
     )
-    ref = ray.put((winner_of, thresh))
+    return {
+        "bench_ref": bench_ref,
+        "narrow": narrow,
+        "thresh": thresh,
+        "winner_of": winner_of,
+        "n": n,
+    }
 
+
+def survivor_mask_and_split(
+    ids: np.ndarray,
+    n_tokens: np.ndarray,
+    content_hashes: list,
+    contaminated: np.ndarray,
+    thresh: int,
+    winner_of: dict,
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Batch-local curation verdict: (keep mask, split labels). Shared by
+    the query path and the shard writer so both can never disagree."""
+    keep = n_tokens >= thresh
+    keep &= ~contaminated
+    if winner_of:
+        losers = np.array(
+            [winner_of.get(h, i) != i for h, i in zip(content_hashes, ids)],
+            bool,
+        )
+        keep &= ~losers
     lo = (train_pct * 65536) // 100
     hi = ((train_pct + val_pct) * 65536) // 100
+    buckets = np.array([int(h[:4], 16) for h in content_hashes], np.int64)
+    split = np.where(buckets < lo, "train", np.where(buckets < hi, "val", "test"))
+    return keep, split
+
+
+def curate_corpus(
+    ds: "ray.data.Dataset",
+    pct: int = 25,
+    n: int = 5,
+    modulus: int = 23,
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> "ray.data.Dataset":
+    """The composed pre-training curation pipeline in one call: a document
+    survives iff it (a) clears the corpus-P``pct`` token-count gate,
+    (b) shares no word ``n``-gram with the held-out benchmark slice, and
+    (c) is its content's exact-dedup winner (min doc_id per md5); every
+    survivor gets its leakage-safe train/val/test split. Output:
+    (doc_id, split).
+
+    Scale composition — TWO passes over the text (the minimum: the
+    benchmark gram set must exist before contamination can be tested),
+    then narrow-only work; see ``curation_state`` for the pieces. The
+    split bucket falls out of content_hash's first 4 hex chars (same md5
+    the dedup key already paid for)."""
+    import ray
+
+    state = curation_state(ds, pct=pct, n=n, modulus=modulus)
+    ref = ray.put((state["winner_of"], state["thresh"]))
 
     def finalize(batch: pa.Table) -> pa.Table:
         winners, thr = ray.get(ref)
         ids = batch.column("doc_id").to_numpy()
-        keep = batch.column("n_tokens").to_numpy() >= thr
-        keep &= ~batch.column("contaminated").to_numpy(zero_copy_only=False)
-        hashes = batch.column("content_hash").to_pylist()
-        if winners:
-            losers = np.array(
-                [winners.get(h, i) != i for h, i in zip(hashes, ids)], bool
-            )
-            keep &= ~losers
-        buckets = np.array([int(h[:4], 16) for h in hashes], np.int64)
-        split = np.where(buckets < lo, "train", np.where(buckets < hi, "val", "test"))
+        keep, split = survivor_mask_and_split(
+            ids,
+            batch.column("n_tokens").to_numpy(),
+            batch.column("content_hash").to_pylist(),
+            batch.column("contaminated").to_numpy(zero_copy_only=False),
+            thr,
+            winners,
+            train_pct,
+            val_pct,
+        )
         return pa.Table.from_arrays(
             [pa.array(ids[keep]), pa.array(split[keep])],
             names=["doc_id", "split"],
         )
 
-    return narrow.map_batches(finalize, batch_format="pyarrow")
+    return state["narrow"].map_batches(finalize, batch_format="pyarrow")

@@ -448,3 +448,63 @@ def test_incremental_append_runs_only_new_partitions(ray_session, tmp_path):
     got = sorted(tuple(r.values()) for r in flat.take_all())
     want = sorted(tuple(r.values()) for r in _oracle_flat(tbl))
     assert got == want
+
+
+def test_write_training_shards_resumable(ray_session, tmp_path):
+    """Shard writer: shard union == the curated train split, packing is
+    valid per shard, resume skips committed shards, and a parameter
+    change invalidates the manifest entries."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.dataset as pds
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+    from pdfz_ray.functions.curation import curate_corpus
+    from pdfz_ray.pipelines.curation_pipeline import write_training_shards
+
+    rng = np.random.default_rng(11)
+    words = [f"w{i}" for i in range(50)]
+    rows = []
+    for i in range(120):
+        toks = rng.choice(words, size=int(rng.integers(3, 30))).tolist()
+        rows.append({"doc_id": i, "text": " ".join(toks)})
+    rows[30]["text"] = rows[7]["text"]  # exact duplicate → 30 loses to 7
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.Table.from_pylist(rows), src)
+
+    out = str(tmp_path / "shards")
+    res = write_training_shards(src, out, n_shards=3, budget=64)
+    assert sorted(res["ran"]) == [0, 1, 2] and res["skipped"] == []
+
+    shard_tbl = pds.dataset(out, format="parquet").to_table()
+    got_ids = sorted(shard_tbl.column("doc_id").to_pylist())
+    cur = curate_corpus(
+        rd.read_parquet(src, columns=["doc_id", "text"])
+    ).to_pandas()
+    want_ids = sorted(cur[cur["split"] == "train"]["doc_id"])
+    assert got_ids == want_ids
+    assert len(got_ids) == len(set(got_ids))  # exactly once across shards
+    # packing validity: offsets under budget; per-doc (pack_id, offset)
+    # consistent with a doc_id-ordered serial scan within each shard
+    df = shard_tbl.to_pandas()
+    assert (df["pack_offset"] < 64).all()
+    import json
+
+    man = [json.loads(l) for l in open(res["manifest"])]
+    assert len(man) == 3
+    for m in man:
+        sh = df[(df["doc_id"] >= m["doc_lo"]) & (df["doc_id"] < m["doc_hi"])]
+        sh = sh.sort_values("doc_id").reset_index(drop=True)
+        prev = np.concatenate(([0], np.cumsum(sh["n_tokens"].to_numpy()[:-1])))
+        assert (sh["pack_id"].to_numpy() == prev // 64).all()
+        assert (sh["pack_offset"].to_numpy() == prev % 64).all()
+        assert m["n_docs"] == len(sh)
+
+    # resume: nothing re-runs
+    res2 = write_training_shards(src, out, n_shards=3, budget=64)
+    assert res2["ran"] == [] and sorted(res2["skipped"]) == [0, 1, 2]
+
+    # changed parameters invalidate the fingerprint → full re-run
+    res3 = write_training_shards(src, out, n_shards=3, budget=32)
+    assert sorted(res3["ran"]) == [0, 1, 2]
