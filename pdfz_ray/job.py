@@ -48,6 +48,15 @@ def main(argv: list[str] | None = None) -> int:
                    help="route docs with more spans than this to a "
                         "repartitioned small-batch branch (see "
                         "estimate_span_threshold)")
+    p.add_argument("--mode", choices=["extract", "curate"], default="extract",
+                   help="extract = the flagship span pipeline; curate = "
+                        "write packed training shards of the curated corpus")
+    p.add_argument("--shards", type=int, default=4,
+                   help="[curate] number of output shards")
+    p.add_argument("--budget", type=int, default=512,
+                   help="[curate] token budget per packed sequence")
+    p.add_argument("--split", default="train",
+                   help="[curate] which split to materialize")
     args = p.parse_args(argv)
 
     files = sorted(glob.glob(args.input)) if any(
@@ -66,6 +75,27 @@ def main(argv: list[str] | None = None) -> int:
         ray.init(address="local", **kw)
     try:
         import pyarrow.parquet as pq
+
+        if args.mode == "curate":
+            from .pipelines.curation_pipeline import write_training_shards
+
+            res = write_training_shards(
+                files,
+                args.out,
+                n_shards=args.shards,
+                budget=args.budget,
+                split=args.split,
+                resume=not args.no_resume,
+            )
+            print(json.dumps(
+                {
+                    "out_dir": args.out,
+                    "shards_run": len(res["ran"]),
+                    "shards_skipped": len(res["skipped"]),
+                    "manifest": res["manifest"],
+                }
+            ))
+            return 0
 
         from .pipelines.extract_pipeline import run_partitioned
 
