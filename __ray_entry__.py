@@ -526,6 +526,45 @@ def _q_top_terms(sf_dir: str):
     return top_terms(sf_dir, k=20)
 
 
+def _q_seen_probe(sf_dir: str):
+    """Bloom-filter membership probe: the corpus content filter answers a
+    fixed probe set (every 7th doc's text + 100 absent keys). Zero false
+    negatives by construction; zero false positives on this probe set at
+    this sizing (measured at sf0.001/0.01/0.1) — so the result equals the
+    exact semi-join and carries an exact oracle."""
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+
+    from pdfz_ray.functions.windows import seen_content_filter
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    bf = seen_content_filter(ds)
+    present_df = (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        .map_batches(
+            lambda b: b.filter(
+                pa.array(b.column("doc_id").to_numpy() % 7 == 0)
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    keys = [f"doc:{i}" for i in present_df["doc_id"]] + [
+        f"absent-probe-{i}" for i in range(100)
+    ]
+    texts = present_df["text"].tolist() + [
+        f"absent-probe-{i}" for i in range(100)
+    ]
+    hits = bf.contains_hashes(pd.util.hash_array(np.asarray(texts, object)))
+    return pd.DataFrame({"probe": keys, "present": hits})
+
+
 def _q_heavy_hitters(sf_dir: str):
     """Sketch-based top-k terms (Count-Min + per-block candidates; no
     term-keyed shuffle). Estimates are exact at this vocabulary (no
@@ -747,6 +786,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_bucketed": _q_sessionize_bucketed,
         "running_event_counts": _q_running_event_counts,
         "distinct_users_by_type": _q_distinct_users,
+        "seen_probe": _q_seen_probe,
         "top_users_by_type": _q_top_users,
         "asof_join": _q_asof_join,
         "sliding_event_counts": _q_sliding_counts,
@@ -1483,4 +1523,13 @@ FROM media_ok
     sqls["knn_pq"] = sqls["knn_brute"]
     # CMS estimates are exact at this vocabulary → sketch top-k == exact
     sqls["heavy_hitters"] = sqls["top_terms"]
+    # Bloom probe: no false negatives ever; no false positives on this
+    # probe set at this sizing → equals the exact membership semi-join
+    sqls["seen_probe"] = """
+        SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS probe, true AS present
+        FROM documents WHERE doc_id % 7 = 0
+        UNION ALL
+        SELECT 'absent-probe-' || CAST(i AS VARCHAR), false
+        FROM generate_series(0, 99) t(i)
+    """
     return sqls

@@ -387,3 +387,83 @@ def approx_distinct_users_by_type(sf_dir: str, p: int = 12) -> pd.DataFrame:
             for et, h in sorted(merged.items())
         ]
     )
+
+
+class BloomFilter:
+    """Mergeable Bloom filter (bitset OR) — the membership leg of the
+    sketch family next to HyperLogLog (distinct) and CountMinSketch
+    (frequency). Use case at 100 TB: cross-run "have we already ingested
+    this content hash" checks where the exact id set no longer fits one
+    node — each ingest partition builds its own filter, filters merge by
+    OR, and lookups never false-negative (a positive is re-checked
+    against the manifest; a negative is definitive)."""
+
+    def __init__(self, n_bits: int = 1 << 20, n_hashes: int = 5, seed: int = 42):
+        import numpy as np
+
+        self.n_bits, self.n_hashes = n_bits, n_hashes
+        rng = np.random.default_rng(seed)
+        self.salts = rng.integers(1, 2**62, size=n_hashes).astype(np.uint64)
+        self.bits = np.zeros((n_bits + 63) // 64, np.uint64)
+
+    def _positions(self, h) -> "np.ndarray":
+        import numpy as np
+
+        pos = np.empty((self.n_hashes, len(h)), np.int64)
+        for k in range(self.n_hashes):
+            pos[k] = (
+                (h * (self.salts[k] | np.uint64(1))) >> np.uint64(11)
+            ).astype(np.int64) % self.n_bits
+        return pos
+
+    def add_hashes(self, h) -> None:
+        import numpy as np
+
+        if not len(h):
+            return
+        pos = self._positions(h).ravel()
+        np.bitwise_or.at(
+            self.bits, pos >> 6, np.uint64(1) << (pos & 63).astype(np.uint64)
+        )
+
+    def contains_hashes(self, h) -> "np.ndarray":
+        import numpy as np
+
+        if not len(h):
+            return np.zeros(0, bool)
+        pos = self._positions(h)
+        hit = np.ones(len(h), bool)
+        for k in range(self.n_hashes):
+            word = self.bits[pos[k] >> 6]
+            bit = (word >> (pos[k] & 63).astype(np.uint64)) & np.uint64(1)
+            hit &= bit.astype(bool)
+        return hit
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        self.bits |= other.bits
+        return self
+
+
+def seen_content_filter(ds: "ray.data.Dataset", n_bits: int = 1 << 20) -> BloomFilter:
+    """Build a corpus-wide content-hash Bloom filter: each batch emits its
+    own filter (serialized bitset), the driver ORs them — a fixed-size
+    reduce regardless of corpus size. Keyed on md5(text) like the exact
+    dedup path, so a cross-run ingest can pre-screen candidate documents
+    with zero false negatives before the (exact) manifest check."""
+    import numpy as np
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        texts = batch.column("text").to_pylist()
+        h = pd.util.hash_array(np.asarray(texts, object))
+        bf = BloomFilter(n_bits=n_bits)
+        bf.add_hashes(h)
+        return pa.Table.from_arrays(
+            [pa.array([bf.bits.tobytes()], pa.binary())], names=["bits"]
+        )
+
+    merged = BloomFilter(n_bits=n_bits)
+    for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        merged.bits |= np.frombuffer(row["bits"], np.uint64)
+    return merged

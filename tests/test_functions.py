@@ -476,3 +476,30 @@ def test_cms_heavy_hitters(ray_session):
     ).df()
     assert got["term"].tolist() == want["term"].tolist()
     assert got["n"].tolist() == want["n"].tolist()
+
+
+def test_bloom_filter_membership(ray_session, docs_ds):
+    """Bloom invariants: zero false negatives over the full corpus,
+    bitset-OR mergeability, and a bounded false-positive rate on absent
+    probes at this sizing."""
+    import numpy as np
+    import pandas as pd
+
+    from pdfz_ray.functions.windows import BloomFilter, seen_content_filter
+
+    texts = docs_ds.to_pandas()["text"].tolist()
+    h = pd.util.hash_array(np.asarray(texts, object))
+    bf = seen_content_filter(docs_ds)
+    assert bf.contains_hashes(h).all()  # no false negatives, ever
+    # mergeability: two halves OR'd equal the whole
+    a, b = BloomFilter(), BloomFilter()
+    a.add_hashes(h[: len(h) // 2])
+    b.add_hashes(h[len(h) // 2 :])
+    a.merge(b)
+    assert (a.bits == bf.bits).all()
+    # FP rate on 10k absent probes stays under 1% at 2^20 bits / 500 docs
+    probes = pd.util.hash_array(
+        np.asarray([f"absent-{i}" for i in range(10000)], object)
+    )
+    fp = bf.contains_hashes(probes).mean()
+    assert fp < 0.01, fp
