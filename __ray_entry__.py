@@ -709,6 +709,14 @@ def _q_repetition_stats(sf_dir: str):
     )
 
 
+def _q_split_leakage(sf_dir: str):
+    """Near-dup pairs straddling split boundaries — the eval-leakage QA
+    check over the content-hash split."""
+    from pdfz_ray.functions.curation import split_leakage_audit
+
+    return split_leakage_audit(_docs_table(sf_dir), threshold=0.2, n=3)
+
+
 def _q_curate_corpus(sf_dir: str):
     """The composed pre-training curation pipeline: P25 token gate ∧
     5-gram decontamination ∧ exact-dedup winner → split assignment."""
@@ -817,6 +825,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_rarity": _q_doc_rarity,
         "quality_gate_quantile": _q_quality_gate_quantile,
         "curate_corpus": _q_curate_corpus,
+        "split_leakage": _q_split_leakage,
     }
 
 
@@ -1523,6 +1532,35 @@ FROM media_ok
     sqls["knn_pq"] = sqls["knn_brute"]
     # CMS estimates are exact at this vocabulary → sketch top-k == exact
     sqls["heavy_hitters"] = sqls["top_terms"]
+    # leakage audit: exact-Jaccard near-dup pairs (ngram_jaccard's CTE)
+    # whose members fall in different md5-bucket splits
+    sqls["split_leakage"] = r"""
+        WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents),
+        grams AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(generate_series(1, len(w) - 2),
+                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+          FROM toks),
+        p AS (
+          SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                 len(list_intersect(a.g, b.g)) AS inter,
+                 len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS uni
+          FROM grams a JOIN grams b ON a.doc_id < b.doc_id),
+        pairs AS (
+          SELECT doc_id_a, doc_id_b FROM p
+          WHERE inter > 0 AND inter * 1.0 / uni >= 0.2),
+        sp AS (
+          SELECT doc_id,
+                 CASE WHEN substr(md5(text), 1, 4) < 'cccc' THEN 'train'
+                      WHEN substr(md5(text), 1, 4) < 'e666' THEN 'val'
+                      ELSE 'test' END AS split
+          FROM documents)
+        SELECT doc_id_a, doc_id_b, sa.split AS split_a, sb.split AS split_b
+        FROM pairs
+        JOIN sp sa ON doc_id_a = sa.doc_id
+        JOIN sp sb ON doc_id_b = sb.doc_id
+        WHERE sa.split <> sb.split
+    """
     # Bloom probe: no false negatives ever; no false positives on this
     # probe set at this sizing → equals the exact membership semi-join
     sqls["seen_probe"] = """

@@ -667,3 +667,59 @@ def curate_corpus(
         )
 
     return state["narrow"].map_batches(finalize, batch_format="pyarrow")
+
+
+def split_leakage_audit(
+    ds: "ray.data.Dataset",
+    threshold: float = 0.2,
+    n: int = 3,
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> "pa.Table":
+    """Split-leakage detector: near-duplicate pairs whose members landed
+    in DIFFERENT train/val/test splits — the QA check that catches
+    eval-set leakage after any split assignment. Uses the exact n-gram
+    Jaccard pairs (the validated baseline; swap in minhash_lsh_pairs at
+    corpus scale — same shape) and looks up splits ONLY for docs that
+    appear in a pair (small set → driver-side md5, no extra corpus pass).
+    Output: (doc_id_a, doc_id_b, split_a, split_b) for leaking pairs."""
+    import ray
+
+    from .dedup import ngram_jaccard_pairs
+    from .text import split_assign_batch
+
+    pairs = ngram_jaccard_pairs(ds, threshold=threshold, n=n)
+    empty = pa.Table.from_arrays(
+        [
+            pa.array([], pa.int64()),
+            pa.array([], pa.int64()),
+            pa.array([], pa.string()),
+            pa.array([], pa.string()),
+        ],
+        names=["doc_id_a", "doc_id_b", "split_a", "split_b"],
+    )
+    if pairs.num_rows == 0:
+        return empty
+    a = pairs.column("doc_id_a").to_numpy()
+    b = pairs.column("doc_id_b").to_numpy()
+    ids = pa.array(np.unique(np.concatenate([a, b])))
+    ids_ref = ray.put(ids)
+
+    def paired_docs(batch: pa.Table) -> pa.Table:
+        sel = pc.is_in(batch.column("doc_id"), value_set=ray.get(ids_ref))
+        return split_assign_batch(batch.filter(sel), train_pct, val_pct)
+
+    sub = ds.map_batches(paired_docs, batch_format="pyarrow").to_pandas()
+    split_of = dict(zip(sub["doc_id"], sub["split"]))
+    sa = np.array([split_of[i] for i in a])
+    sb = np.array([split_of[i] for i in b])
+    leak = sa != sb
+    return pa.Table.from_arrays(
+        [
+            pa.array(a[leak]),
+            pa.array(b[leak]),
+            pa.array(sa[leak].tolist(), pa.string()),
+            pa.array(sb[leak].tolist(), pa.string()),
+        ],
+        names=["doc_id_a", "doc_id_b", "split_a", "split_b"],
+    )

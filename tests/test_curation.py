@@ -261,6 +261,37 @@ def test_curate_corpus_all_three_gates(ray_session):
         assert r.split == expect
 
 
+def test_split_leakage_audit_crafted(ray_session):
+    import hashlib
+
+    import ray.data
+
+    from pdfz_ray.functions.curation import split_leakage_audit
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": base + " extra"},  # near-dup of 1
+        {"doc_id": 3, "text": "completely unrelated words in this one here"},
+    ]
+    out = split_leakage_audit(
+        ray.data.from_arrow(pa.Table.from_pylist(rows)), threshold=0.2, n=3
+    ).to_pandas()
+
+    def split_of(t):
+        b = int(hashlib.md5(t.encode()).hexdigest()[:4], 16)
+        return "train" if b < 52428 else ("val" if b < 58982 else "test")
+
+    leak_expected = split_of(rows[0]["text"]) != split_of(rows[1]["text"])
+    if leak_expected:
+        assert len(out) == 1 and out.iloc[0]["doc_id_a"] == 1
+        assert out.iloc[0]["split_a"] != out.iloc[0]["split_b"]
+    else:
+        assert len(out) == 0
+    # doc 3 never appears — it has no near-dup partner
+    assert 3 not in set(out.get("doc_id_a", [])) | set(out.get("doc_id_b", []))
+
+
 def test_revenue_by_nation_vs_duckdb(ray_session):
     import duckdb
 
