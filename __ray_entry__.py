@@ -717,6 +717,14 @@ def _q_split_leakage(sf_dir: str):
     return split_leakage_audit(_docs_table(sf_dir), threshold=0.2, n=3)
 
 
+def _q_split_assign_grouped(sf_dir: str):
+    """Leakage-safe split: near-dup components share their
+    representative's bucket (audit over this assignment is zero)."""
+    from pdfz_ray.functions.curation import split_assign_grouped
+
+    return split_assign_grouped(_docs_table(sf_dir), threshold=0.2, n=3)
+
+
 def _q_curate_corpus(sf_dir: str):
     """The composed pre-training curation pipeline: P25 token gate ∧
     5-gram decontamination ∧ exact-dedup winner → split assignment."""
@@ -826,6 +834,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_gate_quantile": _q_quality_gate_quantile,
         "curate_corpus": _q_curate_corpus,
         "split_leakage": _q_split_leakage,
+        "split_assign_grouped": _q_split_assign_grouped,
     }
 
 
@@ -1532,6 +1541,42 @@ FROM media_ok
     sqls["knn_pq"] = sqls["knn_brute"]
     # CMS estimates are exact at this vocabulary → sketch top-k == exact
     sqls["heavy_hitters"] = sqls["top_terms"]
+    # leakage-safe grouped split: every doc buckets by its component
+    # REPRESENTATIVE's (min doc_id) md5; singletons by their own
+    sqls["split_assign_grouped"] = r"""
+        WITH RECURSIVE toks AS (
+          SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents),
+        grams AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(generate_series(1, len(w) - 2),
+                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+          FROM toks),
+        p AS (
+          SELECT a.doc_id AS a, b.doc_id AS b,
+                 len(list_intersect(a.g, b.g)) AS inter,
+                 len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS uni
+          FROM grams a JOIN grams b ON a.doc_id < b.doc_id),
+        pairs AS (SELECT a, b FROM p WHERE inter > 0 AND inter * 1.0 / uni >= 0.2),
+        edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+        reach(node, label) AS (
+          SELECT a, a FROM edges
+          UNION
+          SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
+        ),
+        comp AS (SELECT node AS doc_id, min(label) AS group_id
+                 FROM reach GROUP BY node),
+        g2 AS (
+          SELECT d.doc_id, coalesce(c.group_id, d.doc_id) AS group_id
+          FROM documents d LEFT JOIN comp c USING (doc_id)),
+        rep AS (
+          SELECT g2.doc_id, substr(md5(t.text), 1, 4) AS rh
+          FROM g2 JOIN documents t ON g2.group_id = t.doc_id)
+        SELECT doc_id,
+               CASE WHEN rh < 'cccc' THEN 'train'
+                    WHEN rh < 'e666' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM rep
+    """
     # leakage audit: exact-Jaccard near-dup pairs (ngram_jaccard's CTE)
     # whose members fall in different md5-bucket splits
     sqls["split_leakage"] = r"""

@@ -723,3 +723,71 @@ def split_leakage_audit(
         ],
         names=["doc_id_a", "doc_id_b", "split_a", "split_b"],
     )
+
+
+def split_assign_grouped(
+    ds: "ray.data.Dataset",
+    threshold: float = 0.2,
+    n: int = 3,
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> "ray.data.Dataset":
+    """Leakage-SAFE split assignment: splits are decided per near-dup
+    COMPONENT (all members inherit the group representative's content-hash
+    bucket), so ``split_leakage_audit`` over this assignment is zero by
+    construction — the fix for the per-doc hash split's inherent near-dup
+    leakage.
+
+    Scale shape: only PAIRED docs (small by construction) carry an entry
+    in the broadcast {doc_id → representative bucket} map; every other
+    doc is its own group and buckets batch-locally from its own md5. The
+    corpus text streams through exactly one pass."""
+    import ray
+
+    from .dedup import neardup_groups, ngram_jaccard_pairs
+    from .text import SPLIT_NAMES  # noqa: F401  (shared split vocabulary)
+
+    pairs = ngram_jaccard_pairs(ds, threshold=threshold, n=n)
+    comp = neardup_groups(pairs).to_pandas() if pairs.num_rows else None
+    rep_bucket: dict[int, int] = {}
+    if comp is not None and len(comp):
+        group_of = dict(zip(comp["doc_id"], comp["group_id"]))
+        reps = sorted(set(comp["group_id"]))
+        rep_set = pa.array(np.array(reps, np.int64))
+
+        def rep_texts(batch: pa.Table) -> pa.Table:
+            sel = pc.is_in(batch.column("doc_id"), value_set=rep_set)
+            return batch.filter(sel)
+
+        rep_df = ds.map_batches(rep_texts, batch_format="pyarrow").to_pandas()
+        rep_hash = {
+            int(i): int(hashlib.md5((t or "").encode()).hexdigest()[:4], 16)
+            for i, t in zip(rep_df["doc_id"], rep_df["text"])
+        }
+        rep_bucket = {
+            int(d): rep_hash[int(g)] for d, g in group_of.items()
+        }
+    map_ref = ray.put(rep_bucket)
+    lo = (train_pct * 65536) // 100
+    hi = ((train_pct + val_pct) * 65536) // 100
+
+    def assign(batch: pa.Table) -> pa.Table:
+        grouped = ray.get(map_ref)
+        ids = batch.column("doc_id").to_numpy()
+        texts = batch.column("text").to_pylist()
+        buckets = np.array(
+            [
+                grouped.get(
+                    int(i), int(hashlib.md5((t or "").encode()).hexdigest()[:4], 16)
+                )
+                for i, t in zip(ids, texts)
+            ],
+            np.int64,
+        )
+        split = np.where(buckets < lo, "train", np.where(buckets < hi, "val", "test"))
+        return pa.Table.from_arrays(
+            [batch.column("doc_id"), pa.array(split)],
+            names=["doc_id", "split"],
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")

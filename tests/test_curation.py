@@ -292,6 +292,42 @@ def test_split_leakage_audit_crafted(ray_session):
     assert 3 not in set(out.get("doc_id_a", [])) | set(out.get("doc_id_b", []))
 
 
+def test_grouped_split_has_zero_leakage(ray_session):
+    """The leakage-safe split closes the audit loop: every near-dup pair
+    lands in one split, and non-paired docs keep the plain hash split."""
+    import hashlib
+
+    import ray.data as rd
+
+    from pdfz_ray.functions.curation import split_assign_grouped
+    from pdfz_ray.functions.dedup import ngram_jaccard_pairs
+
+    def docs():
+        return rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+
+    grouped = split_assign_grouped(docs(), threshold=0.2, n=3).to_pandas()
+    split_of = dict(zip(grouped["doc_id"], grouped["split"]))
+    pairs = ngram_jaccard_pairs(docs(), threshold=0.2, n=3)
+    paired = set(pairs.column("doc_id_a").to_pylist()) | set(
+        pairs.column("doc_id_b").to_pylist()
+    )
+    assert all(
+        split_of[a] == split_of[b]
+        for a, b in zip(
+            pairs.column("doc_id_a").to_pylist(),
+            pairs.column("doc_id_b").to_pylist(),
+        )
+    )
+    # singletons keep the per-doc hash bucket
+    texts = dict(zip(*[docs().to_pandas()[c] for c in ("doc_id", "text")]))
+    for did, sp in list(split_of.items())[:50]:
+        if did in paired:
+            continue
+        b = int(hashlib.md5(texts[did].encode()).hexdigest()[:4], 16)
+        expect = "train" if b < 52428 else ("val" if b < 58982 else "test")
+        assert sp == expect
+
+
 def test_revenue_by_nation_vs_duckdb(ray_session):
     import duckdb
 
