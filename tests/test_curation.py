@@ -350,3 +350,83 @@ def test_revenue_by_nation_vs_duckdb(ray_session):
     ).df()
     assert got["n_name"].tolist() == want["n_name"].tolist()
     assert got["revenue_c4"].tolist() == want["revenue_c4"].tolist()
+
+
+def _curate_reference(rows, pct=25, n=5, modulus=23):
+    """Independent single-process reimplementation of curate_corpus (RE2
+    ASCII tokens, md5 buckets, distinct word n-grams) for differential
+    testing on randomized corpora."""
+    import hashlib
+    import math
+
+    def toks(t):
+        return re.findall(r"\S+", t or "", flags=re.ASCII)
+
+    def grams(t):
+        w = toks(t)
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+    counts = sorted(len(toks(r["text"])) for r in rows)
+    target = math.ceil(pct * len(rows) / 100)
+    thresh = counts[target - 1] if rows else 0
+    # smallest value whose cumulative count reaches target
+    from collections import Counter
+
+    hist = sorted(Counter(counts).items())
+    cum = 0
+    for v, c in hist:
+        cum += c
+        if cum >= target:
+            thresh = v
+            break
+    bench = set()
+    for r in rows:
+        if r["doc_id"] % modulus == 0:
+            bench |= grams(r["text"])
+    winners = {}
+    for r in rows:
+        h = hashlib.md5(r["text"].encode()).hexdigest()
+        winners.setdefault(h, r["doc_id"])
+    out = {}
+    for r in rows:
+        t = r["text"]
+        h = hashlib.md5(t.encode()).hexdigest()
+        if len(toks(t)) < thresh:
+            continue
+        if grams(t) & bench:
+            continue
+        if winners[h] != r["doc_id"]:
+            continue
+        b = int(h[:4], 16)
+        out[r["doc_id"]] = (
+            "train" if b < 52428 else ("val" if b < 58982 else "test")
+        )
+    return out
+
+
+def test_curate_corpus_differential_random(ray_session):
+    """curate_corpus vs an independent serial reference over randomized
+    corpora (dups, short docs, empty docs, unicode whitespace)."""
+    import ray.data
+
+    from pdfz_ray.functions.curation import curate_corpus
+
+    for seed in (3, 17, 99):
+        rng = np.random.default_rng(seed)
+        vocab = [f"v{i}" for i in range(30)]
+        rows = []
+        for i in range(150):
+            k = int(rng.integers(0, 25))
+            rows.append(
+                {"doc_id": i, "text": " ".join(rng.choice(vocab, size=k))}
+            )
+        # inject exact dups, an empty doc, and unicode whitespace
+        rows[50]["text"] = rows[10]["text"]
+        rows[51]["text"] = rows[10]["text"]
+        rows[60]["text"] = ""
+        rows[61]["text"] = "a b " + rows[61]["text"]
+        ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(4)
+        got = curate_corpus(ds, pct=25, n=5, modulus=23).to_pandas()
+        got_map = dict(zip(got["doc_id"], got["split"]))
+        want = _curate_reference(rows)
+        assert got_map == want, f"seed {seed}"
