@@ -100,6 +100,33 @@ def write_training_shards(
         keep &= splits == split
         return batch.filter(pa.array(keep))
 
+    # per-(shard, bucket) survivor token totals from the NARROW table in ONE
+    # pass (no text) — per-shard exclusive cumsums are sliced from it below,
+    # so N shards don't pay N pipeline executions for their offsets
+    def bucket_totals(batch: pa.Table) -> pa.Table:
+        batch = survivors_of(batch)
+        ids = batch.column("doc_id").to_numpy()
+        t = pa.Table.from_arrays(
+            [
+                pa.array(np.minimum((ids - lo_id) // width, n_shards - 1)),
+                pa.array(ids // bucket_size),
+                batch.column("n_tokens"),
+            ],
+            names=["shard", "bucket", "n_tokens"],
+        )
+        g = t.group_by(["shard", "bucket"]).aggregate([("n_tokens", "sum")])
+        return g.rename_columns(["shard", "bucket", "total"])
+
+    from ray.data.aggregate import Sum
+
+    all_totals = (
+        narrow.map_batches(bucket_totals, batch_format="pyarrow")
+        .groupby(["shard", "bucket"])
+        .aggregate(Sum("total", alias_name="total"))
+        .to_pandas()
+        .sort_values(["shard", "bucket"])
+    )
+
     ran, skipped = [], []
     for sid in range(n_shards):
         if sid in done:
@@ -108,28 +135,7 @@ def write_training_shards(
         t0 = time.perf_counter()
         s_lo, s_hi = lo_id + sid * width, lo_id + (sid + 1) * width
 
-        # shard-local bucket token totals from the NARROW table (no text)
-        def bucket_totals(batch: pa.Table, s_lo=s_lo, s_hi=s_hi) -> pa.Table:
-            ids = batch.column("doc_id").to_numpy()
-            batch = batch.filter(pa.array((ids >= s_lo) & (ids < s_hi)))
-            batch = survivors_of(batch)
-            ids = batch.column("doc_id").to_numpy()
-            t = pa.Table.from_arrays(
-                [pa.array(ids // bucket_size), batch.column("n_tokens")],
-                names=["bucket", "n_tokens"],
-            )
-            g = t.group_by(["bucket"]).aggregate([("n_tokens", "sum")])
-            return g.rename_columns(["bucket", "total"])
-
-        from ray.data.aggregate import Sum
-
-        totals = (
-            narrow.map_batches(bucket_totals, batch_format="pyarrow")
-            .groupby("bucket")
-            .aggregate(Sum("total", alias_name="total"))
-            .to_pandas()
-            .sort_values("bucket")
-        )
+        totals = all_totals[all_totals["shard"] == sid]
         csum = totals["total"].cumsum().shift(fill_value=0)
         offsets_ref = ray.put(dict(zip(totals["bucket"], csum)))
 
