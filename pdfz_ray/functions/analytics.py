@@ -539,7 +539,32 @@ def heavy_hitters(
             names=["sketch", "candidates"],
         )
 
-    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    def combine(batch: pa.Table) -> pa.Table:
+        # data-plane combine level: up to batch_size sketches merge into
+        # one before anything reaches the driver — the driver sees
+        # n_blocks/batch_size rows, not one 4 MB row per block. For
+        # 10^5+-block corpora apply this stage again (it is idempotent
+        # in shape) for a deeper tree.
+        acc = CountMinSketch()
+        cand: list[str] = []
+        for r in range(batch.num_rows):
+            acc.table += np.frombuffer(
+                batch.column("sketch")[r].as_py(), np.int64
+            ).reshape(acc.table.shape)
+            cand.extend(batch.column("candidates")[r].as_py())
+        return pa.Table.from_arrays(
+            [
+                pa.array([acc.table.tobytes()], pa.binary()),
+                pa.array([sorted(set(cand))], pa.list_(pa.string())),
+            ],
+            names=["sketch", "candidates"],
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(combine, batch_format="pyarrow", batch_size=32)
+        .take_all()
+    )
     merged = CountMinSketch()
     cand: set[str] = set()
     for r in rows:

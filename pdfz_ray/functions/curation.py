@@ -675,20 +675,24 @@ def split_leakage_audit(
     n: int = 3,
     train_pct: int = 80,
     val_pct: int = 10,
+    pairs: "pa.Table | None" = None,
 ) -> "pa.Table":
     """Split-leakage detector: near-duplicate pairs whose members landed
     in DIFFERENT train/val/test splits — the QA check that catches
-    eval-set leakage after any split assignment. Uses the exact n-gram
-    Jaccard pairs (the validated baseline; swap in minhash_lsh_pairs at
-    corpus scale — same shape) and looks up splits ONLY for docs that
-    appear in a pair (small set → driver-side md5, no extra corpus pass).
-    Output: (doc_id_a, doc_id_b, split_a, split_b) for leaking pairs."""
+    eval-set leakage after any split assignment. Pass ``pairs`` (any
+    (doc_id_a, doc_id_b) table — e.g. ``minhash_lsh_pairs`` output) at
+    corpus scale; the default computes the exact n-gram Jaccard baseline,
+    which is all-pairs and validation-sized only. Splits are looked up
+    ONLY for docs that appear in a pair (small set → driver-side md5, no
+    extra corpus pass). Output: (doc_id_a, doc_id_b, split_a, split_b)
+    for leaking pairs."""
     import ray
 
     from .dedup import ngram_jaccard_pairs
     from .text import split_assign_batch
 
-    pairs = ngram_jaccard_pairs(ds, threshold=threshold, n=n)
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(ds, threshold=threshold, n=n)
     empty = pa.Table.from_arrays(
         [
             pa.array([], pa.int64()),
@@ -731,6 +735,7 @@ def split_assign_grouped(
     n: int = 3,
     train_pct: int = 80,
     val_pct: int = 10,
+    pairs: "pa.Table | None" = None,
 ) -> "ray.data.Dataset":
     """Leakage-SAFE split assignment: splits are decided per near-dup
     COMPONENT (all members inherit the group representative's content-hash
@@ -747,7 +752,10 @@ def split_assign_grouped(
     from .dedup import neardup_groups, ngram_jaccard_pairs
     from .text import SPLIT_NAMES  # noqa: F401  (shared split vocabulary)
 
-    pairs = ngram_jaccard_pairs(ds, threshold=threshold, n=n)
+    if pairs is None:
+        # exact all-pairs baseline — validation-sized; pass minhash_lsh
+        # pairs at corpus scale (any (doc_id_a, doc_id_b) table works)
+        pairs = ngram_jaccard_pairs(ds, threshold=threshold, n=n)
     comp = neardup_groups(pairs).to_pandas() if pairs.num_rows else None
     rep_bucket: dict[int, int] = {}
     if comp is not None and len(comp):

@@ -463,7 +463,22 @@ def seen_content_filter(ds: "ray.data.Dataset", n_bits: int = 1 << 20) -> BloomF
             [pa.array([bf.bits.tobytes()], pa.binary())], names=["bits"]
         )
 
+    def combine(batch: pa.Table) -> pa.Table:
+        # data-plane OR-combine: up to batch_size bitsets fold into one
+        # before the driver sees anything (apply again for deeper trees)
+        acc = np.zeros((n_bits + 63) // 64, np.uint64)
+        for r in range(batch.num_rows):
+            acc |= np.frombuffer(batch.column("bits")[r].as_py(), np.uint64)
+        return pa.Table.from_arrays(
+            [pa.array([acc.tobytes()], pa.binary())], names=["bits"]
+        )
+
     merged = BloomFilter(n_bits=n_bits)
-    for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(combine, batch_format="pyarrow", batch_size=32)
+        .take_all()
+    )
+    for row in rows:
         merged.bits |= np.frombuffer(row["bits"], np.uint64)
     return merged
