@@ -202,16 +202,23 @@ def write_training_shards(
         )
         tmp = manifest.begin(sid)
         packed.write_parquet(tmp)
+        import os
+
         import pyarrow.dataset as pds
 
-        mt = pds.dataset(tmp, format="parquet").to_table(
-            columns=["n_tokens", "pack_id"]
-        )
-        n_docs = mt.num_rows
-        n_tokens = int(pc.sum(mt.column("n_tokens")).as_py() or 0)
-        n_packs = (
-            len(pc.unique(mt.column("pack_id"))) if n_docs else 0
-        )
+        # a shard range with zero survivors writes no parquet files; its
+        # empty dataset has no schema, so selecting columns would throw —
+        # commit it as an (honestly) empty shard instead
+        files = pds.dataset(tmp, format="parquet").files
+        if files:
+            mt = pds.dataset(files, format="parquet").to_table(
+                columns=["n_tokens", "pack_id"]
+            )
+            n_docs = mt.num_rows
+            n_tokens = int(pc.sum(mt.column("n_tokens")).as_py() or 0)
+            n_packs = len(pc.unique(mt.column("pack_id"))) if n_docs else 0
+        else:
+            n_docs = n_tokens = n_packs = 0
         manifest.commit(
             sid,
             {

@@ -508,3 +508,38 @@ def test_write_training_shards_resumable(ray_session, tmp_path):
     # changed parameters invalidate the fingerprint → full re-run
     res3 = write_training_shards(src, out, n_shards=3, budget=32)
     assert sorted(res3["ran"]) == [0, 1, 2]
+
+
+def test_write_training_shards_empty_shard(ray_session, tmp_path):
+    """A shard range with zero survivors commits as an empty shard (the
+    100k-doc stress surfaced a crash reading the empty dataset's schema)."""
+    import json
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdfz_ray.pipelines.curation_pipeline import write_training_shards
+
+    rng = np.random.default_rng(5)
+    words = [f"w{i}" for i in range(40)]
+    # all docs in [0, 50); ids 1000/1001 park the top of the id space so
+    # the upper shard ranges contain no documents at all
+    rows = [
+        {
+            "doc_id": i,
+            "text": " ".join(rng.choice(words, size=int(rng.integers(5, 25)))),
+        }
+        for i in range(50)
+    ]
+    rows.append({"doc_id": 1000, "text": "lone top doc " + " ".join(words[:9])})
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.Table.from_pylist(rows), src)
+    out = str(tmp_path / "shards")
+    res = write_training_shards(src, out, n_shards=4, budget=64)
+    assert sorted(res["ran"]) == [0, 1, 2, 3]
+    man = [json.loads(l) for l in open(res["manifest"])]
+    assert len(man) == 4
+    assert any(m["n_docs"] == 0 for m in man)  # empty shard committed
+    res2 = write_training_shards(src, out, n_shards=4, budget=64)
+    assert res2["ran"] == [] and len(res2["skipped"]) == 4
