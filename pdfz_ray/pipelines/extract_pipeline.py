@@ -374,6 +374,75 @@ def build_extract_pipeline(
     return out
 
 
+def extract_to_dir(
+    input_files: list[str],
+    out_dir: str,
+    jobs: pa.Table | dict[str, Job] | None = None,
+    *,
+    ocr: bool = True,
+    ocr_engine: str = "tesseract",
+    ocr_model: str | None = None,
+    batch_size: int = 2048,
+    compression: str = "zstd",
+) -> None:
+    """One-shot extract run: input parquet files → one output directory,
+    with the dedup winners written as a separate small side file.
+
+    This is the at-scale write topology: `Dataset.union` of the (tiny)
+    winner set with the streamed output inserts a UnionOperator between the
+    map chain and the Write operator, which un-fuses map→write and sends
+    every output block through an extra object-store hop (measured ~25%
+    idle time at 32 CPUs). Writing the winner rows as one extra parquet
+    file in the same directory keeps the main read→dedup→extract→OCR→write
+    chain a single fused task pipeline; the output *table* (dir contents)
+    is row-identical to ``build_extract_pipeline(...).write_parquet(...)``.
+    """
+    import pyarrow.parquet as pq
+
+    from ..stages.engines import ocr_task
+
+    dup_ids, file_dups = scan_duplicates(input_files)
+    dup_files = [f for f in input_files if f in file_dups]
+    ds = ray.data.read_parquet(input_files)
+    lookup = jobs if isinstance(jobs, dict) else jobs_table_to_lookup(jobs)
+    jobs_ref = ray.put(lookup) if lookup else None
+    if dup_ids:
+        dup_ref = ray.put(pa.array(sorted(dup_ids), pa.string()))
+
+        def drop_dups(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                pc.invert(
+                    pc.is_in(batch.column("doc_id"), value_set=ray.get(dup_ref))
+                )
+            )
+
+        ds = ds.map_batches(drop_dups, batch_format="pyarrow")
+
+    def _extract(batch: pa.Table) -> pa.Table:
+        j = ray.get(jobs_ref) if jobs_ref is not None else {}
+        return extract_batch(batch, j, emit_payloads=ocr)
+
+    out = ds.map_batches(_extract, batch_format="pyarrow", batch_size=batch_size)
+    if ocr:
+        out = out.map_batches(
+            ocr_task,
+            fn_kwargs={"engine": ocr_engine, "model": ocr_model},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
+    out.write_parquet(out_dir, compression=compression)
+    if dup_ids:
+        winners = _winner_rows(dup_files, None, dup_ids)
+        side = extract_batch(winners, lookup or {}, emit_payloads=ocr)
+        if ocr:
+            side = ocr_task(side, engine=ocr_engine, model=ocr_model)
+        pq.write_table(
+            side,
+            f"{out_dir.rstrip('/')}/winners.parquet",
+            compression=compression,
+        )
+
+
 def run_partitioned(
     input_paths: list[str],
     out_dir: str,

@@ -62,6 +62,40 @@ def test_pipeline_dedup_exact(ray_session, corpus_files):
     assert out.count() == n_unique
 
 
+def test_extract_to_dir_matches_union_topology(ray_session, corpus_files, tmp_path):
+    """extract_to_dir (fused map→write + winners side file — the bench /
+    at-scale topology) is row-identical to build_extract_pipeline's
+    Dataset.union topology."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from pdfz_ray.pipelines.extract_pipeline import (
+        build_extract_pipeline,
+        extract_to_dir,
+    )
+
+    tbl, paths = corpus_files
+    jobs = jobs_table_to_lookup(make_jobs(120))
+
+    d_union = str(tmp_path / "out_union")
+    build_extract_pipeline(
+        rd.read_parquet(paths), jobs, dedup=True, input_files=paths, ocr=True
+    ).write_parquet(d_union)
+    d_fused = str(tmp_path / "out_fused")
+    extract_to_dir(paths, d_fused, jobs, ocr=True)
+
+    def rows(d):
+        t = pads.dataset(d, format="parquet").to_table()
+        return sorted(
+            (r["doc_id"], r["status"], r["pages"], str(r["spans"]))
+            for r in t.to_pylist()
+        )
+
+    assert rows(d_fused) == rows(d_union)
+    # the winners side file exists (the fixture corpus has a dup-id tail)
+    assert os.path.exists(os.path.join(d_fused, "winners.parquet"))
+
+
 def test_run_partitioned_and_resume(ray_session, corpus_files, tmp_path):
     from pdfz_ray.pipelines.extract_pipeline import run_partitioned
     from pdfz_ray.stages.extract import flatten_output
