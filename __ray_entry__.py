@@ -936,7 +936,7 @@ FROM media_ok
         "text_stats": r"""
             SELECT doc_id,
                    CAST(length(text) AS BIGINT) AS n_chars,
-                   CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+                   CAST(len(regexp_extract_all(coalesce(text, ''), '\S+')) AS BIGINT) AS n_tokens,
                    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
                         t -> t IN ('the','a','and','of','to','in','is','on','for','data'))) AS BIGINT) AS n_stopwords,
                    CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct
@@ -946,7 +946,7 @@ FROM media_ok
             WITH s AS (
               SELECT doc_id,
                      CAST(length(text) AS BIGINT) AS n_chars,
-                     CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+                     CAST(len(regexp_extract_all(coalesce(text, ''), '\S+')) AS BIGINT) AS n_tokens,
                      CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
                           t -> t IN ('the','a','and','of','to','in','is','on','for','data'))) AS BIGINT) AS n_stopwords,
                      CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct
@@ -956,7 +956,7 @@ FROM media_ok
         """,
         "token_count": r"""
             SELECT doc_id,
-                   CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+                   CAST(len(regexp_extract_all(coalesce(text, ''), '\S+')) AS BIGINT) AS n_tokens,
                    CAST(len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_subwords
             FROM documents
         """,
@@ -1031,7 +1031,7 @@ FROM media_ok
             FROM documents GROUP BY md5(text)
         """,
         "ngram_jaccard": r"""
-            WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents),
+            WITH toks AS (SELECT doc_id, regexp_extract_all(coalesce(text, ''), '\S+') AS w FROM documents),
             grams AS (
               SELECT doc_id,
                      list_distinct(list_transform(generate_series(1, len(w) - 2),
@@ -1051,7 +1051,7 @@ FROM media_ok
         # pair — which holds deterministically on this corpus (seed=42
         # signatures; the recall floor is separately asserted in pytest)
         "minhash_lsh": r"""
-            WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents),
+            WITH toks AS (SELECT doc_id, regexp_extract_all(coalesce(text, ''), '\S+') AS w FROM documents),
             grams AS (
               SELECT doc_id,
                      list_distinct(list_transform(generate_series(1, len(w) - 2),
@@ -1070,7 +1070,7 @@ FROM media_ok
         # non-minimum members of exact-Jaccard connected components
         "neardup_dedup_corpus": r"""
             WITH RECURSIVE toks AS (
-              SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents),
+              SELECT doc_id, regexp_extract_all(coalesce(text, ''), '\S+') AS w FROM documents),
             grams AS (
               SELECT doc_id,
                      list_distinct(list_transform(generate_series(1, len(w) - 2),
@@ -1094,7 +1094,7 @@ FROM media_ok
         """,
         "neardup_groups": r"""
             WITH RECURSIVE toks AS (
-              SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents),
+              SELECT doc_id, regexp_extract_all(coalesce(text, ''), '\S+') AS w FROM documents),
             grams AS (
               SELECT doc_id,
                      list_distinct(list_transform(generate_series(1, len(w) - 2),
@@ -1289,7 +1289,7 @@ FROM media_ok
         # 3-grams shared with it (keep in sync with curation.decontaminate)
         "decontaminate": r"""
             WITH toks AS (
-              SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents
+              SELECT doc_id, regexp_extract_all(coalesce(text, ''), '\S+') AS w FROM documents
             ),
             grams AS (
               SELECT doc_id,
@@ -1309,13 +1309,13 @@ FROM media_ok
         # counts on the original text, redaction email → ip → phone
         "pii_redact": r"""
             SELECT doc_id,
-                   CAST(len(regexp_extract_all(text,
+                   CAST(len(regexp_extract_all(coalesce(text, ''),
                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
-                   CAST(len(regexp_extract_all(text,
+                   CAST(len(regexp_extract_all(coalesce(text, ''),
                         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
-                   CAST(len(regexp_extract_all(text,
+                   CAST(len(regexp_extract_all(coalesce(text, ''),
                         '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
-                   regexp_replace(regexp_replace(regexp_replace(text,
+                   regexp_replace(regexp_replace(regexp_replace(coalesce(text, ''),
                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
                         '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS redacted
@@ -1326,7 +1326,7 @@ FROM media_ok
         "pack_sequences": r"""
             WITH t AS (
               SELECT doc_id,
-                     CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+                     CAST(len(regexp_extract_all(coalesce(text, ''), '\S+')) AS BIGINT) AS n_tokens
               FROM documents
             ),
             c AS (
@@ -1346,14 +1346,14 @@ FROM media_ok
         "hash_sample": """
             SELECT doc_id, source
             FROM documents
-            WHERE substr(md5(text), 1, 4) <
+            WHERE substr(md5(coalesce(text, '')), 1, 4) <
                   CASE WHEN source = 'src0' THEN '8000' ELSE '1999' END
         """,
         # Gopher-style repetition signals over 2-grams; docs with < 2
         # tokens have no grams and emit no row on either side
         "repetition_stats": r"""
             WITH toks AS (
-              SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents
+              SELECT doc_id, regexp_extract_all(coalesce(text, ''), '\S+') AS w FROM documents
             ),
             g2 AS (
               SELECT doc_id,
@@ -1372,7 +1372,7 @@ FROM media_ok
         # tie-break) — integer-exact global-stat annotation
         "doc_rarity": r"""
             WITH toks AS (
-              SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term
+              SELECT doc_id, unnest(regexp_extract_all(coalesce(text, ''), '\S+')) AS term
               FROM documents
             ),
             dt AS (SELECT DISTINCT doc_id, term FROM toks),
@@ -1391,7 +1391,7 @@ FROM media_ok
         "quality_gate_quantile": r"""
             WITH t AS (
               SELECT doc_id,
-                     CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+                     CAST(len(regexp_extract_all(coalesce(text, ''), '\S+')) AS BIGINT) AS n_tokens
               FROM documents
             ),
             h AS (SELECT n_tokens AS v, count(*) AS c FROM t GROUP BY 1),
@@ -1411,8 +1411,8 @@ FROM media_ok
         "curate_corpus": r"""
             WITH t AS (
               SELECT doc_id,
-                     CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
-                     md5(text) AS h
+                     CAST(len(regexp_extract_all(coalesce(text, ''), '\S+')) AS BIGINT) AS n_tokens,
+                     md5(coalesce(text, '')) AS h
               FROM documents
             ),
             hist AS (SELECT n_tokens AS v, count(*) AS c FROM t GROUP BY 1),
@@ -1426,7 +1426,7 @@ FROM media_ok
               WHERE cum >= CAST(ceil(total * 25 / 100.0) AS BIGINT)
             ),
             toks AS (
-              SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents
+              SELECT doc_id, regexp_extract_all(coalesce(text, ''), '\S+') AS w FROM documents
             ),
             grams AS (
               SELECT doc_id,
@@ -1468,7 +1468,7 @@ FROM media_ok
     # REPRESENTATIVE's (min doc_id) md5; singletons by their own
     sqls["split_assign_grouped"] = r"""
         WITH RECURSIVE toks AS (
-          SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents),
+          SELECT doc_id, regexp_extract_all(coalesce(text, ''), '\S+') AS w FROM documents),
         grams AS (
           SELECT doc_id,
                  list_distinct(list_transform(generate_series(1, len(w) - 2),
@@ -1503,7 +1503,7 @@ FROM media_ok
     # leakage audit: exact-Jaccard near-dup pairs (ngram_jaccard's CTE)
     # whose members fall in different md5-bucket splits
     sqls["split_leakage"] = r"""
-        WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents),
+        WITH toks AS (SELECT doc_id, regexp_extract_all(coalesce(text, ''), '\S+') AS w FROM documents),
         grams AS (
           SELECT doc_id,
                  list_distinct(list_transform(generate_series(1, len(w) - 2),

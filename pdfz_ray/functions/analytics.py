@@ -206,7 +206,12 @@ def orders_by_nation(sf_dir: str) -> "pa.Table":
     def partial(batch: pa.Table) -> pa.Table:
         cks, nks, nn = ray.get(ref)
         keys = batch.column("o_custkey").to_numpy()
-        nat = nks[np.searchsorted(cks, keys)] if len(keys) else np.zeros(0, np.int64)
+        # inner-join semantics: drop custkeys absent from customer (see
+        # revenue_by_nation's nation_partial)
+        pos = np.searchsorted(cks, keys) if len(keys) else np.zeros(0, np.int64)
+        pos = np.minimum(pos, max(len(cks) - 1, 0))
+        hit = cks[pos] == keys if len(cks) else np.zeros(len(keys), bool)
+        nat = nks[pos[hit]]
         counts = np.bincount(nat, minlength=nn)
         nz = np.nonzero(counts)[0]
         return pa.Table.from_arrays(
@@ -423,8 +428,16 @@ def revenue_by_nation(sf_dir: str, num_partitions: int = 8) -> "pa.Table":
         cks, nks, nn = ray.get(ref)
         keys = batch.column("o_custkey").to_numpy()
         revs = batch.column("rev").to_numpy()
-        nat = nks[np.searchsorted(cks, keys)] if len(keys) else np.zeros(0, np.int64)
-        sums = np.bincount(nat, weights=revs.astype(np.float64), minlength=nn)
+        # inner-join semantics: a custkey absent from customer drops the
+        # row (clipped + mismatch-masked searchsorted) instead of silently
+        # attributing revenue to a neighboring nation
+        pos = np.searchsorted(cks, keys) if len(keys) else np.zeros(0, np.int64)
+        pos = np.minimum(pos, max(len(cks) - 1, 0))
+        hit = cks[pos] == keys if len(cks) else np.zeros(len(keys), bool)
+        nat = nks[pos[hit]]
+        sums = np.bincount(
+            nat, weights=revs[hit].astype(np.float64), minlength=nn
+        )
         # bincount weights go through float64 — exact for |sum| < 2^53,
         # which per-BATCH partials never approach (full-corpus totals are
         # combined as int64 in the groupby below)

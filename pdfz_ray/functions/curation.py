@@ -333,7 +333,9 @@ def repetition_stats_batch(batch: pa.Table, n: int = 2) -> pa.Table:
     )
 
 
-def doc_rarity(ds: "ray.data.Dataset", max_df: int = 0) -> "ray.data.Dataset":
+def doc_rarity(
+    ds: "ray.data.Dataset", df_cap: int = 0, join_partitions: int = 4
+) -> "ray.data.Dataset":
     """Per-doc rarity annotation: each document's rarest term (lowest
     corpus document frequency; ties broken lexicographically) and that
     term's DF — the "global statistic → per-record annotation" pattern
@@ -346,11 +348,16 @@ def doc_rarity(ds: "ray.data.Dataset", max_df: int = 0) -> "ray.data.Dataset":
     DF table once (``ray.put``) and streams docs through a vectorized
     argmin lookup. Docs with no tokens emit no row.
 
-    Scale bound: the driver collect and the broadcast are VOCABULARY-sized
-    (distinct terms), not corpus-sized. For web-scale vocabularies (10^8+
-    terms) cap the broadcast to the df <= D tail — a doc whose terms are
-    all commoner than D then needs the annotate pass to fall back to a
-    hash-partitioned join on term, the same shape phase 1 already uses."""
+    Scale bound: with ``df_cap=0`` the broadcast is VOCABULARY-sized
+    (distinct terms). For web-scale vocabularies (10^8+ terms) set
+    ``df_cap=D``: only the df ≤ D tail is broadcast — a doc whose rarest
+    broadcast term has df ≤ D resolves locally (every non-broadcast term
+    has df > D, strictly commoner, so the local winner is globally
+    correct, ties included); docs whose terms are ALL commoner than D
+    fall back to a hash-partitioned join on term against the (sharded) DF
+    table, with a zero-padded "df term" string key whose lexicographic
+    min reproduces the (df, term) tie-break exactly. Identical output for
+    any cap."""
     import ray
 
     def distinct_terms(batch: pa.Table) -> pa.Table:
@@ -365,55 +372,137 @@ def doc_rarity(ds: "ray.data.Dataset", max_df: int = 0) -> "ray.data.Dataset":
         # global (doc, term) pairs are exact; only terms shuffle
         return pairs.group_by(["p", "term"]).aggregate([]).select(["term"])
 
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Count, Min
 
-    df_tbl = (
+    df_ds = (
         ds.map_batches(distinct_terms, batch_format="pyarrow")
         .groupby("term")
         .aggregate(Count(alias_name="df"))
-        .to_pandas()
     )
+    if df_cap > 0:
+        df_ds = df_ds.materialize()  # reused by broadcast slice AND join
+        df_tbl = df_ds.map_batches(
+            lambda t: t.filter(pc.less_equal(t.column("df"), df_cap)),
+            batch_format="pyarrow",
+        ).to_pandas()
+    else:
+        df_tbl = df_ds.to_pandas()
     # vocabulary broadcast: sorted term array + df array (lexicographic
     # order doubles as the tie-break order)
     terms = pa.array(df_tbl["term"].astype(str).sort_values(), pa.string())
-    df_sorted = df_tbl.set_index("term")["df"].loc[terms.to_pylist()].to_numpy()
+    df_sorted = (
+        df_tbl.set_index("term")["df"].loc[terms.to_pylist()].to_numpy()
+        if len(df_tbl)
+        else np.zeros(0, np.int64)
+    )
     ref = ray.put((terms, df_sorted.astype(np.int64)))
 
-    def annotate(batch: pa.Table) -> pa.Table:
-        vocab, dfs = ray.get(ref)
-        empty = pa.Table.from_arrays(
-            [
-                pa.array([], pa.int64()),
-                pa.array([], pa.string()),
-                pa.array([], pa.int64()),
-            ],
-            names=["doc_id", "rarest_term", "term_df"],
+    def annotate(resolve_only: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            vocab, dfs = ray.get(ref)
+            res_names = ["doc_id", "rarest_term", "term_df"]
+            rem_names = ["doc_id", "term"]
+            empty = pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.string())]
+                + ([pa.array([], pa.int64())] if resolve_only else []),
+                names=res_names if resolve_only else rem_names,
+            )
+            if batch.num_rows == 0:
+                return empty
+            toks, parent = _doc_tokens(batch.column("text"))
+            if len(toks) == 0:
+                return empty
+            idx_arr = pc.index_in(toks, value_set=vocab)
+            miss = pc.is_null(idx_arr).to_numpy(zero_copy_only=False)
+            idx = (
+                pc.fill_null(idx_arr, -1)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            # docs where every token missed the broadcast → join fallback
+            hit_docs = np.unique(parent[~miss])
+            in_bcast = np.isin(parent, hit_docs)
+            if resolve_only:
+                keep = in_bcast & ~miss
+                if not keep.any():
+                    return empty
+                parent_k, idx_k = parent[keep], idx[keep]
+                tok_df = dfs[idx_k]
+                # per-doc argmin of (df, vocab index): lexsort by df then
+                # vocab index → tie-broken minimum at each doc's first slot
+                order = np.lexsort((idx_k, tok_df, parent_k))
+                p_sorted = parent_k[order]
+                first = np.concatenate(([True], p_sorted[1:] != p_sorted[:-1]))
+                sel = order[first]
+                doc_ids = batch.column("doc_id").take(pa.array(parent_k[sel]))
+                return pa.Table.from_arrays(
+                    [
+                        doc_ids,
+                        vocab.take(pa.array(idx_k[sel])),
+                        pa.array(tok_df[sel].astype(np.int64)),
+                    ],
+                    names=res_names,
+                )
+            # remainder pass: distinct (doc_id, term) pairs of fallback docs
+            keep = ~in_bcast
+            if not keep.any():
+                return empty
+            pairs = (
+                pa.Table.from_arrays(
+                    [
+                        batch.column("doc_id").take(pa.array(parent[keep])),
+                        toks.take(pa.array(np.nonzero(keep)[0])),
+                    ],
+                    names=rem_names,
+                )
+                .group_by(rem_names)
+                .aggregate([])
+            )
+            return pairs.select(rem_names)
+
+        return fn
+
+    resolved = ds.map_batches(annotate(True), batch_format="pyarrow")
+    if df_cap <= 0:
+        return resolved
+    # join fallback for docs entirely above the cap: pairs ⨝ df on term,
+    # then a Min over the order-preserving "df term" key per doc
+    rem = ds.map_batches(annotate(False), batch_format="pyarrow")
+    joined = rem.join(
+        df_ds, join_type="inner", num_partitions=join_partitions, on=("term",)
+    )
+
+    def key_of(batch: pa.Table) -> pa.Table:
+        dfs = batch.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
+        keys = [
+            f"{d:012d} {t}"
+            for d, t in zip(dfs.tolist(), batch.column("term").to_pylist())
+        ]
+        return pa.Table.from_arrays(
+            [batch.column("doc_id"), pa.array(keys, pa.string())],
+            names=["doc_id", "key"],
         )
-        if batch.num_rows == 0:
-            return empty
-        toks, parent = _doc_tokens(batch.column("text"))
-        if len(toks) == 0:
-            return empty
-        idx = pc.index_in(toks, value_set=vocab).to_numpy(zero_copy_only=False)
-        tok_df = dfs[idx.astype(np.int64)]
-        # per-doc argmin of (df, vocab index): lexsort by primary df then
-        # vocab index gives the tie-broken minimum at each doc's first slot
-        order = np.lexsort((idx, tok_df, parent))
-        p_sorted = parent[order]
-        first = np.concatenate(([True], p_sorted[1:] != p_sorted[:-1]))
-        sel = order[first]
-        doc_ids = batch.column("doc_id").take(pa.array(parent[sel]))
-        best_idx = idx[sel].astype(np.int64)
+
+    best = (
+        joined.map_batches(key_of, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Min("key", alias_name="key"))
+    )
+
+    def unkey(batch: pa.Table) -> pa.Table:
+        ks = batch.column("key").to_pylist()
+        dfs = [int(k[:12]) for k in ks]
+        ts = [k[13:] for k in ks]
         return pa.Table.from_arrays(
             [
-                doc_ids,
-                vocab.take(pa.array(best_idx)),
-                pa.array(tok_df[sel].astype(np.int64)),
+                pc.cast(batch.column("doc_id"), pa.int64()),
+                pa.array(ts, pa.string()),
+                pa.array(dfs, pa.int64()),
             ],
             names=["doc_id", "rarest_term", "term_df"],
         )
 
-    return ds.map_batches(annotate, batch_format="pyarrow")
+    return resolved.union(best.map_batches(unkey, batch_format="pyarrow"))
 
 
 def _doc_tokens(text_col) -> tuple[pa.Array, np.ndarray]:
@@ -676,23 +765,29 @@ def split_leakage_audit(
     train_pct: int = 80,
     val_pct: int = 10,
     pairs: "pa.Table | None" = None,
+    pairs_mode: str = "lsh",
 ) -> "pa.Table":
     """Split-leakage detector: near-duplicate pairs whose members landed
     in DIFFERENT train/val/test splits — the QA check that catches
     eval-set leakage after any split assignment. Pass ``pairs`` (any
-    (doc_id_a, doc_id_b) table — e.g. ``minhash_lsh_pairs`` output) at
-    corpus scale; the default computes the exact n-gram Jaccard baseline,
-    which is all-pairs and validation-sized only. Splits are looked up
-    ONLY for docs that appear in a pair (small set → driver-side md5, no
-    extra corpus pass). Output: (doc_id_a, doc_id_b, split_a, split_b)
-    for leaking pairs."""
+    (doc_id_a, doc_id_b) table) to audit a precomputed pair set; with no
+    ``pairs`` the DEFAULT is MinHash-LSH (``pairs_mode="lsh"``) — the
+    shape that scales, with exact per-pair Jaccard verification built in.
+    ``pairs_mode="exact"`` opts into the all-pairs n-gram Jaccard
+    baseline (validation-sized only — O(n²) comparisons). Splits are
+    looked up ONLY for docs that appear in a pair (small set →
+    driver-side md5, no extra corpus pass). Output: (doc_id_a, doc_id_b,
+    split_a, split_b) for leaking pairs."""
     import ray
 
-    from .dedup import ngram_jaccard_pairs
+    from .dedup import minhash_lsh_pairs, ngram_jaccard_pairs
     from .text import split_assign_batch
 
     if pairs is None:
-        pairs = ngram_jaccard_pairs(ds, threshold=threshold, n=n)
+        if pairs_mode == "exact":
+            pairs = ngram_jaccard_pairs(ds, threshold=threshold, n=n)
+        else:
+            pairs = minhash_lsh_pairs(ds, threshold=threshold, ngram=n)
     empty = pa.Table.from_arrays(
         [
             pa.array([], pa.int64()),
@@ -715,6 +810,16 @@ def split_leakage_audit(
 
     sub = ds.map_batches(paired_docs, batch_format="pyarrow").to_pandas()
     split_of = dict(zip(sub["doc_id"], sub["split"]))
+    missing = sorted(
+        {int(i) for i in np.concatenate([a, b]) if i not in split_of}
+    )
+    if missing:
+        # a caller-supplied pairs table referencing docs absent from ds is
+        # bad input — report it instead of a bare KeyError mid-lookup
+        raise ValueError(
+            f"{len(missing)} pair doc_id(s) not present in the corpus "
+            f"dataset (first few: {missing[:5]})"
+        )
     sa = np.array([split_of[i] for i in a])
     sb = np.array([split_of[i] for i in b])
     leak = sa != sb
@@ -736,6 +841,7 @@ def split_assign_grouped(
     train_pct: int = 80,
     val_pct: int = 10,
     pairs: "pa.Table | None" = None,
+    pairs_mode: str = "lsh",
 ) -> "ray.data.Dataset":
     """Leakage-SAFE split assignment: splits are decided per near-dup
     COMPONENT (all members inherit the group representative's content-hash
@@ -743,19 +849,24 @@ def split_assign_grouped(
     construction — the fix for the per-doc hash split's inherent near-dup
     leakage.
 
+    Pair source defaults to MinHash-LSH (the scale path; exact-verified);
+    ``pairs_mode="exact"`` opts into the all-pairs baseline for
+    validation, and a precomputed ``pairs`` table overrides both.
+
     Scale shape: only PAIRED docs (small by construction) carry an entry
     in the broadcast {doc_id → representative bucket} map; every other
     doc is its own group and buckets batch-locally from its own md5. The
     corpus text streams through exactly one pass."""
     import ray
 
-    from .dedup import neardup_groups, ngram_jaccard_pairs
+    from .dedup import minhash_lsh_pairs, neardup_groups, ngram_jaccard_pairs
     from .text import SPLIT_NAMES  # noqa: F401  (shared split vocabulary)
 
     if pairs is None:
-        # exact all-pairs baseline — validation-sized; pass minhash_lsh
-        # pairs at corpus scale (any (doc_id_a, doc_id_b) table works)
-        pairs = ngram_jaccard_pairs(ds, threshold=threshold, n=n)
+        if pairs_mode == "exact":
+            pairs = ngram_jaccard_pairs(ds, threshold=threshold, n=n)
+        else:
+            pairs = minhash_lsh_pairs(ds, threshold=threshold, ngram=n)
     comp = neardup_groups(pairs).to_pandas() if pairs.num_rows else None
     rep_bucket: dict[int, int] = {}
     if comp is not None and len(comp):

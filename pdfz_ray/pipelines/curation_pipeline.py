@@ -26,6 +26,7 @@ Scale shape:
 from __future__ import annotations
 
 import hashlib
+import os
 import time
 
 import numpy as np
@@ -72,9 +73,17 @@ def write_training_shards(
     span = narrow.aggregate(Min("doc_id"), Max("doc_id"))
     lo_id, hi_id = int(span["min(doc_id)"]), int(span["max(doc_id)"])
     width = -(-(hi_id - lo_id + 1) // n_shards)  # ceil
+    # the fingerprint covers input file IDENTITY (size + mtime), not just
+    # paths: an input parquet rewritten in place must invalidate committed
+    # shards — a resumed run over changed bytes would silently keep stale
+    # output labeled complete
+    input_sig = [
+        (p, os.path.getsize(p), int(os.path.getmtime(p)))
+        for p in sorted(input_paths)
+    ]
     params_md5 = hashlib.md5(
         "|".join(
-            map(str, [sorted(input_paths), n_shards, budget, pct, n, modulus, split, bucket_size])
+            map(str, [input_sig, n_shards, budget, pct, n, modulus, split, bucket_size])
         ).encode()
     ).hexdigest()
 
@@ -202,8 +211,6 @@ def write_training_shards(
         )
         tmp = manifest.begin(sid)
         packed.write_parquet(tmp)
-        import os
-
         import pyarrow.dataset as pds
 
         # a shard range with zero survivors writes no parquet files; its

@@ -328,6 +328,40 @@ def test_grouped_split_has_zero_leakage(ray_session):
         assert sp == expect
 
 
+def test_split_leakage_lsh_default_matches_exact(ray_session):
+    """The LSH pair source (the scale default) audits identically to the
+    exact all-pairs baseline on the driver corpus (LSH is full-recall
+    here; verification makes precision exact)."""
+    import ray.data as rd
+
+    from pdfz_ray.functions.curation import split_leakage_audit
+
+    def docs():
+        return rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+
+    lsh = split_leakage_audit(docs(), threshold=0.2, n=3).to_pandas()
+    exact = split_leakage_audit(
+        docs(), threshold=0.2, n=3, pairs_mode="exact"
+    ).to_pandas()
+    key = lambda df: sorted(map(tuple, df.values.tolist()))  # noqa: E731
+    assert key(lsh) == key(exact)
+
+
+def test_split_leakage_bad_pairs_raises(ray_session):
+    import ray.data
+
+    from pdfz_ray.functions.curation import split_leakage_audit
+
+    rows = [{"doc_id": 1, "text": "alpha beta gamma delta"}]
+    bad_pairs = pa.Table.from_pylist(
+        [{"doc_id_a": 1, "doc_id_b": 999}]  # 999 absent from the corpus
+    )
+    with pytest.raises(ValueError, match="999"):
+        split_leakage_audit(
+            ray.data.from_arrow(pa.Table.from_pylist(rows)), pairs=bad_pairs
+        )
+
+
 def test_revenue_by_nation_vs_duckdb(ray_session):
     import duckdb
 

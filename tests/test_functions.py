@@ -51,12 +51,21 @@ def test_minhash_lsh_vs_exact(docs_ds):
 def test_verify_pairs_join_path_matches_broadcast(docs_ds):
     """The two physical verification plans (broadcast blobs vs two
     hash-partitioned joins) must produce identical verified pair sets."""
-    from pdfz_ray.functions.dedup import _verify_pairs_jaccard, ngram_jaccard_pairs
+    import ray.data
+
+    from pdfz_ray.functions.dedup import (
+        _pairs_table,
+        _verify_pairs_jaccard,
+        ngram_jaccard_pairs,
+    )
 
     exact = ngram_jaccard_pairs(docs_ds, threshold=0.2)
     pairs = exact.select(["doc_id_a", "doc_id_b"])
-    bcast = _verify_pairs_jaccard(docs_ds, pairs, 0.2, 3)
-    joined = _verify_pairs_jaccard(docs_ds, pairs, 0.2, 3, broadcast_limit=0)
+    pairs_ds = ray.data.from_arrow(pairs)
+    bcast = _pairs_table(_verify_pairs_jaccard(docs_ds, pairs_ds, 0.2, 3))
+    joined = _pairs_table(
+        _verify_pairs_jaccard(docs_ds, pairs_ds, 0.2, 3, broadcast_limit=0)
+    )
     key = lambda t: sorted(  # noqa: E731
         zip(t.column("doc_id_a").to_pylist(), t.column("doc_id_b").to_pylist())
     )

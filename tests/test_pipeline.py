@@ -543,6 +543,14 @@ def test_write_training_shards_resumable(ray_session, tmp_path):
     res3 = write_training_shards(src, out, n_shards=3, budget=32)
     assert sorted(res3["ran"]) == [0, 1, 2]
 
+    # an input file rewritten IN PLACE (same path, different content)
+    # invalidates the fingerprint too — resume must not keep stale shards
+    rows[5]["text"] = "totally new content for doc five"
+    pq.write_table(pa.Table.from_pylist(rows), src)
+    os.utime(src, (os.path.getatime(src), os.path.getmtime(src) + 2))
+    res4 = write_training_shards(src, out, n_shards=3, budget=32)
+    assert sorted(res4["ran"]) == [0, 1, 2]
+
 
 def test_write_training_shards_empty_shard(ray_session, tmp_path):
     """A shard range with zero survivors commits as an empty shard (the
