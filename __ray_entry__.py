@@ -413,6 +413,18 @@ def _q_knn_pq(sf_dir: str):
     return knn_pq(_embeddings(sf_dir), mat, ids, k=10)
 
 
+def _q_knn_ivf(sf_dir: str):
+    """IVF coarse quantization at full probe (nprobe=nlist): every cell is
+    probed so the result is exact BY CONSTRUCTION while still exercising
+    the IVF machinery (kmeans training, centroid broadcast, cell
+    assignment, candidate shuffle); the partial-probe recall curve is
+    asserted separately in pytest (test_knn_ivf_recall)."""
+    from pdfz_ray.functions.similarity import knn_ivf, load_query_matrix
+
+    ids, mat = load_query_matrix(sf_dir, n_queries=5)
+    return knn_ivf(_embeddings(sf_dir), mat, ids, k=10, nlist=8, nprobe=8)
+
+
 def _q_sessionize(sf_dir: str):
     from pdfz_ray.functions.windows import sessionize
 
@@ -768,6 +780,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing
         "frame_sample": _q_frame_sample,
         "audio_energy": _q_audio_energy,
+        # IVF ANN (exactness-pinned full-probe config; placed past the
+        # driver's 50-query window — partial-probe recall is pytest-held)
+        "knn_ivf": _q_knn_ivf,
     }
 
 
@@ -1462,6 +1477,8 @@ FROM media_ok
     sqls["knn_lsh"] = sqls["knn_brute"]
     # PQ-ADC with exact rerank (default width) equals brute force here
     sqls["knn_pq"] = sqls["knn_brute"]
+    # IVF at full probe (nprobe=nlist) is exact by construction
+    sqls["knn_ivf"] = sqls["knn_brute"]
     # CMS estimates are exact at this vocabulary → sketch top-k == exact
     sqls["heavy_hitters"] = sqls["top_terms"]
     # leakage-safe grouped split: every doc buckets by its component

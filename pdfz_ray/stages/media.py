@@ -213,8 +213,23 @@ def decode_real_to_png(payload: bytes, rotate90: bool = False) -> tuple:
     """Reference-shaped real decode (extractor/src/engine/mod.rs:142-162):
     decode the compressed payload, convert to RGBA, optionally rotate90
     (the FlateDecode path swaps dims), re-encode as PNG. Returns
-    ``(png_bytes, out_width, out_height)``. PIL-gated like
-    ``decode_real_image``; covered by a skip-if-absent test."""
+    ``(png_bytes, out_width, out_height)``.
+
+    PNG payloads decode through the pure-stdlib codec
+    (``png_codec.decode_png``) so this branch is executable even without
+    PIL; JPEG and other compressed formats need PIL (the container may
+    lack it — the ``NotImplementedError`` contract is tested either way).
+    """
+    from .png_codec import decode_png, encode_png, is_png
+
+    if is_png(payload):
+        rgba = decode_png(payload)
+        if rotate90:
+            # reference image::rotate90() turns the image CLOCKWISE
+            # (mod.rs:156-160); np.rot90 k=-1 matches, dims swap
+            rgba = np.ascontiguousarray(np.rot90(rgba, k=-1))
+        h, w = rgba.shape[:2]
+        return encode_png(rgba), w, h
     if not _HAS_PIL:
         raise NotImplementedError("image codecs unavailable in this environment")
     import io

@@ -1,0 +1,239 @@
+"""Scale-tier stress runs behind the BASELINE.md tables.
+
+Each subcommand replicates the driver sf0.1 tables to a larger tier with
+unique ids, runs one operator family, and prints a JSON line of wall
+times. Run from /root/repo (workers import pdfz_ray via the driver cwd):
+
+    python scripts/stress.py neardup     # 100k-doc dup-heavy near-dup ops
+    python scripts/stress.py curation1m  # 1M-doc curation family + shards
+    python scripts/stress.py rarity      # doc_rarity w/ 10^6-term vocab
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+STRESS_ROOT = "/tmp/pdfz_ray_stress"
+
+
+def replicate_documents(replicas: int, out_name: str, n_parts: int = 8) -> str:
+    """sf0.1 documents × replicas with unique doc_ids (same text → every
+    doc is a `replicas`-deep exact-dup group: the adversarial profile)."""
+    d = os.path.join(STRESS_ROOT, out_name)
+    marker = os.path.join(d, "_DONE")
+    if os.path.exists(marker):
+        return d
+    os.makedirs(d, exist_ok=True)
+    base = pq.read_table(f"{SF_DIR}/documents.parquet")
+    n = base.num_rows
+    per_part = max(1, replicas // n_parts)
+    k = 0
+    for p in range(n_parts):
+        parts = []
+        for _ in range(per_part):
+            if k >= replicas:
+                break
+            parts.append(
+                base.set_column(
+                    0, "doc_id", pc.add(base.column("doc_id"), k * n)
+                )
+            )
+            k += 1
+        if parts:
+            pq.write_table(pa.concat_tables(parts), os.path.join(d, f"part-{p:03d}.parquet"))
+    with open(marker, "w") as f:
+        f.write("ok\n")
+    return d
+
+
+def timed(timings: dict, name: str, fn):
+    t0 = time.perf_counter()
+    out = fn()
+    timings[name] = round(time.perf_counter() - t0, 2)
+    return out
+
+
+def init_ray():
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+        include_dashboard=False,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def neardup():
+    """100k-doc adversarial corpus (every text a 20-deep dup group):
+    minhash/simhash with the round-3 exact-dedup-first + vectorized
+    buckets + distributed pairs (VERDICT r2 next-round #3/#4: simhash
+    < 20 s with identical output; minhash not worse than 55.8 s)."""
+    ray = init_ray()
+    import ray.data as rd
+
+    from pdfz_ray.functions.dedup import (
+        exact_dedup_docs,
+        minhash_lsh_pairs,
+        neardup_dedup_corpus,
+        simhash_pairs,
+    )
+
+    d = replicate_documents(20, "docs-100k")
+
+    def docs():
+        return rd.read_parquet(d, columns=["doc_id", "text"])
+
+    t: dict[str, float] = {}
+    out: dict[str, int] = {}
+    out["exact_groups"] = timed(t, "exact_dedup", lambda: exact_dedup_docs(docs()).count())
+    mh = timed(t, "minhash_lsh", lambda: minhash_lsh_pairs(docs(), threshold=0.2))
+    out["minhash_pairs"] = mh.num_rows
+    sh = timed(t, "simhash", lambda: simhash_pairs(docs(), max_hamming=3))
+    out["simhash_pairs"] = sh.num_rows
+    out["neardup_survivors"] = timed(
+        t, "neardup_dedup_corpus", lambda: neardup_dedup_corpus(docs(), threshold=0.2).count()
+    )
+    ray.shutdown()
+    print(json.dumps({"stress": "neardup-100k", "timings": t, "outputs": out}))
+
+
+def curation1m():
+    """1M-doc tier for the curation family + training-shard writer
+    (VERDICT r2 next-round #8: confirm per-shard startup amortizes)."""
+    ray = init_ray()
+    import ray.data as rd
+
+    from pdfz_ray.functions.curation import (
+        curate_corpus,
+        decontaminate,
+        pack_sequences,
+        pii_redact_batch,
+    )
+    from pdfz_ray.pipelines.curation_pipeline import write_training_shards
+
+    d = replicate_documents(200, "docs-1m", n_parts=32)
+
+    def docs():
+        return rd.read_parquet(d, columns=["doc_id", "text"])
+
+    t: dict[str, float] = {}
+    out: dict[str, int] = {}
+    out["decontaminate"] = timed(t, "decontaminate", lambda: decontaminate(docs()).count())
+    out["pack_sequences"] = timed(t, "pack_sequences", lambda: pack_sequences(docs()).count())
+    out["pii_redact"] = timed(
+        t,
+        "pii_redact",
+        lambda: docs().map_batches(pii_redact_batch, batch_format="pyarrow").count(),
+    )
+    out["curate_corpus"] = timed(t, "curate_corpus", lambda: curate_corpus(docs(), n=5).count())
+    shard_dir = os.path.join(STRESS_ROOT, "shards-1m")
+    import shutil
+
+    shutil.rmtree(shard_dir, ignore_errors=True)
+    paths = sorted(
+        os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+    )
+    res = timed(
+        t,
+        "write_training_shards",
+        lambda: write_training_shards(paths, shard_dir, n_shards=32, budget=512),
+    )
+    out["shards_ran"] = len(res["ran"])
+    res2 = timed(
+        t,
+        "write_training_shards_resume",
+        lambda: write_training_shards(paths, shard_dir, n_shards=32, budget=512),
+    )
+    out["shards_rerun_on_resume"] = len(res2["ran"])
+    ray.shutdown()
+    print(json.dumps({"stress": "curation-1m", "timings": t, "outputs": out}))
+
+
+def rarity():
+    """doc_rarity with a synthetic 10^6-term vocabulary: df_cap keeps the
+    broadcast at the df<=cap tail while output stays identical to the
+    uncapped run (VERDICT r2 next-round #6 done-criterion)."""
+    ray = init_ray()
+    import ray.data as rd
+
+    from pdfz_ray.functions.curation import doc_rarity
+
+    d = os.path.join(STRESS_ROOT, "docs-bigvocab")
+    marker = os.path.join(d, "_DONE")
+    if not os.path.exists(marker):
+        os.makedirs(d, exist_ok=True)
+        rng = np.random.default_rng(42)
+        n_docs, vocab, toks_per_doc = 50_000, 1_000_000, 40
+        for p in range(8):
+            lo = p * (n_docs // 8)
+            ids = np.arange(lo, lo + n_docs // 8, dtype=np.int64)
+            # Zipf-ish mix: half the tokens from a hot head, half uniform
+            # over the full vocab → a long df=1 tail plus common terms
+            head = rng.integers(0, 5_000, (len(ids), toks_per_doc // 2))
+            tail = rng.integers(0, vocab, (len(ids), toks_per_doc // 2))
+            words = np.concatenate([head, tail], axis=1)
+            texts = [" ".join(f"w{w}" for w in row) for row in words]
+            pq.write_table(
+                pa.Table.from_arrays(
+                    [pa.array(ids), pa.array(texts, pa.string())],
+                    names=["doc_id", "text"],
+                ),
+                os.path.join(d, f"part-{p:03d}.parquet"),
+            )
+        with open(marker, "w") as f:
+            f.write("ok\n")
+
+    def docs():
+        return rd.read_parquet(d)
+
+    t: dict[str, float] = {}
+    full = timed(t, "uncapped", lambda: doc_rarity(docs()).to_pandas())
+    capped = timed(t, "df_cap_4", lambda: doc_rarity(docs(), df_cap=4).to_pandas())
+    key = lambda df: df.sort_values("doc_id").reset_index(drop=True)  # noqa: E731
+    same = key(full).equals(key(capped))
+    # broadcast bound: count terms at df<=4 vs total vocab
+    import duckdb
+
+    con = duckdb.connect()
+    stats = con.execute(
+        f"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             FROM read_parquet('{d}/*.parquet')),
+           dt AS (SELECT DISTINCT doc_id, term FROM toks),
+           df AS (SELECT term, count(*) AS df FROM dt GROUP BY term)
+           SELECT count(*) AS vocab,
+                  sum(CASE WHEN df <= 4 THEN 1 ELSE 0 END) AS under_cap
+           FROM df"""
+    ).fetchone()
+    ray.shutdown()
+    print(
+        json.dumps(
+            {
+                "stress": "rarity-bigvocab",
+                "timings": t,
+                "identical_output": bool(same),
+                "rows": len(full),
+                "vocab_terms": int(stats[0]),
+                "broadcast_terms_at_cap4": int(stats[1]),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    {"neardup": neardup, "curation1m": curation1m, "rarity": rarity}[sys.argv[1]]()
