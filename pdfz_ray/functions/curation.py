@@ -387,6 +387,10 @@ def doc_rarity(
         ).to_pandas()
     else:
         df_tbl = df_ds.to_pandas()
+    if "term" not in df_tbl.columns:  # all-empty blocks lose the schema
+        import pandas as pd
+
+        df_tbl = pd.DataFrame({"term": pd.Series([], dtype=str), "df": []})
     # vocabulary broadcast: sorted term array + df array (lexicographic
     # order doubles as the tie-break order)
     terms = pa.array(df_tbl["term"].astype(str).sort_values(), pa.string())
@@ -465,26 +469,94 @@ def doc_rarity(
     resolved = ds.map_batches(annotate(True), batch_format="pyarrow")
     if df_cap <= 0:
         return resolved
-    # join fallback for docs entirely above the cap: pairs ⨝ df on term,
-    # then a Min over the order-preserving "df term" key per doc
+    # Fallback for docs entirely above the cap: hash-partition BOTH the
+    # (doc_id, term) remainder pairs and the DF table by term into coarse
+    # partitions, merge inside each partition with a vectorized
+    # searchsorted (inner semantics), and keep per-doc partition-local
+    # minima of the order-preserving "df term" key. A Dataset.join would
+    # express this too, but Ray's hash-join finalize breaks on partitions
+    # whose left side received only empty blocks (schema-less empties →
+    # Acero "No match for FieldRef(term)") — the remainder side is
+    # routinely near-empty, so that is the common case here.
     rem = ds.map_batches(annotate(False), batch_format="pyarrow")
-    joined = rem.join(
-        df_ds, join_type="inner", num_partitions=join_partitions, on=("term",)
+    n_merge = max(1, join_partitions) * 8
+
+    def tag(is_df_side: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            n = batch.num_rows
+            term = batch.column("term")
+            if isinstance(term, pa.ChunkedArray):
+                term = term.combine_chunks()
+            p = (
+                pd.util.hash_array(
+                    term.to_numpy(zero_copy_only=False).astype(object)
+                )
+                % n_merge
+            ).astype(np.int64)
+            if is_df_side:
+                doc = pa.nulls(n, pa.int64())
+                dfc = pc.cast(batch.column("df"), pa.int64())
+            else:
+                doc = pc.cast(batch.column("doc_id"), pa.int64())
+                dfc = pa.nulls(n, pa.int64())
+            return pa.Table.from_arrays(
+                [doc, pc.cast(term, pa.string()), dfc, pa.array(p)],
+                names=["doc_id", "term", "df", "p"],
+            )
+
+        return fn
+
+    merged = rem.map_batches(tag(False), batch_format="pyarrow").union(
+        df_ds.map_batches(tag(True), batch_format="pyarrow")
     )
 
-    def key_of(batch: pa.Table) -> pa.Table:
-        dfs = batch.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
-        keys = [
-            f"{d:012d} {t}"
-            for d, t in zip(dfs.tolist(), batch.column("term").to_pylist())
-        ]
+    def local_best(group: pa.Table) -> pa.Table:
+        is_df = pc.is_valid(group.column("df")).to_numpy(zero_copy_only=False)
+        empty = pa.Table.from_arrays(
+            [pa.array([], pa.int64()), pa.array([], pa.string())],
+            names=["doc_id", "key"],
+        )
+        if is_df.all() or not is_df.any():
+            return empty
+        terms = group.column("term").to_numpy(zero_copy_only=False)
+        dfv = (
+            pc.fill_null(group.column("df"), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        docv = (
+            pc.fill_null(group.column("doc_id"), -1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        vt, vdf = terms[is_df], dfv[is_df]
+        order = np.argsort(vt, kind="stable")
+        vt, vdf = vt[order], vdf[order]
+        pt, pdoc = terms[~is_df], docv[~is_df]
+        pos = np.minimum(np.searchsorted(vt, pt), max(len(vt) - 1, 0))
+        hit = vt[pos] == pt  # inner-join semantics; misses are dropped
+        if not hit.any():
+            return empty
+        pdoc, pdf, pterm = pdoc[hit], vdf[pos[hit]], pt[hit]
+        keys = np.array(
+            [f"{d:012d} {t}" for d, t in zip(pdf.tolist(), pterm.tolist())],
+            object,
+        )
+        # partition-local per-doc minimum → only one row per (doc,
+        # partition) reaches the final groupby
+        o = np.lexsort((keys, pdoc))
+        pd_s, k_s = pdoc[o], keys[o]
+        first = np.concatenate(([True], pd_s[1:] != pd_s[:-1]))
         return pa.Table.from_arrays(
-            [batch.column("doc_id"), pa.array(keys, pa.string())],
+            [pa.array(pd_s[first]), pa.array(k_s[first].tolist(), pa.string())],
             names=["doc_id", "key"],
         )
 
     best = (
-        joined.map_batches(key_of, batch_format="pyarrow")
+        merged.groupby("p")
+        .map_groups(local_best, batch_format="pyarrow")
         .groupby("doc_id")
         .aggregate(Min("key", alias_name="key"))
     )

@@ -37,19 +37,15 @@ def replicate_documents(replicas: int, out_name: str, n_parts: int = 8) -> str:
     os.makedirs(d, exist_ok=True)
     base = pq.read_table(f"{SF_DIR}/documents.parquet")
     n = base.num_rows
-    per_part = max(1, replicas // n_parts)
-    k = 0
-    for p in range(n_parts):
-        parts = []
-        for _ in range(per_part):
-            if k >= replicas:
-                break
-            parts.append(
-                base.set_column(
-                    0, "doc_id", pc.add(base.column("doc_id"), k * n)
-                )
-            )
-            k += 1
+    # split range(replicas) across parts without dropping the remainder
+    # (replicas // n_parts per part silently under-replicated: 20 asked /
+    # 8 parts gave 16 — the "100k" corpus was 80k docs)
+    splits = np.array_split(np.arange(replicas), min(n_parts, replicas))
+    for p, ks in enumerate(splits):
+        parts = [
+            base.set_column(0, "doc_id", pc.add(base.column("doc_id"), int(k) * n))
+            for k in ks
+        ]
         if parts:
             pq.write_table(pa.concat_tables(parts), os.path.join(d, f"part-{p:03d}.parquet"))
     with open(marker, "w") as f:

@@ -464,3 +464,36 @@ def test_curate_corpus_differential_random(ray_session):
         got_map = dict(zip(got["doc_id"], got["split"]))
         want = _curate_reference(rows)
         assert got_map == want, f"seed {seed}"
+
+
+def test_doc_rarity_df_cap_identical(ray_session):
+    """The df_cap partitioned-merge fallback returns bit-identical output
+    to the full-broadcast path at every cap — including caps that empty
+    the broadcast (df_cap below the minimum DF) and caps that leave a
+    non-trivial remainder (docs whose every term is commoner than cap)."""
+    import ray.data
+
+    from pdfz_ray.functions.curation import doc_rarity
+
+    rows = []
+    # 30 docs over a vocab with df 1..6: ensures some docs resolve locally
+    # at low caps while others (all-common docs) go through the merge
+    common = "c1 c2 c3"
+    for i in range(30):
+        extra = f"r{i}" if i % 3 == 0 else ("mid1 mid2" if i % 3 == 1 else "")
+        rows.append({"doc_id": i, "text": f"{common} {extra}".strip()})
+    ds0 = pa.Table.from_pylist(rows)
+
+    def run(cap):
+        ds = ray.data.from_arrow(ds0).repartition(4)
+        return (
+            doc_rarity(ds, df_cap=cap)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    full = run(0)
+    assert len(full) == 30
+    for cap in (1, 2, 5, 50):
+        assert run(cap).equals(full), f"df_cap={cap} diverged"
