@@ -686,6 +686,15 @@ def _q_doc_rarity(sf_dir: str):
     return doc_rarity(_docs_table(sf_dir))
 
 
+def _q_doc_rarity_capped(sf_dir: str):
+    """Same operator through the df_cap SCALE path: broadcast only the
+    df<=2 tail, resolve all-common docs via the hash-partitioned merge
+    (identical output to the full broadcast — same oracle)."""
+    from pdfz_ray.functions.curation import doc_rarity
+
+    return doc_rarity(_docs_table(sf_dir), df_cap=2)
+
+
 def _q_hash_sample(sf_dir: str):
     import ray.data
 
@@ -783,6 +792,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # IVF ANN (exactness-pinned full-probe config; placed past the
         # driver's 50-query window — partial-probe recall is pytest-held)
         "knn_ivf": _q_knn_ivf,
+        # df-cap fallback exactness (merge path; same oracle as doc_rarity)
+        "doc_rarity_capped": _q_doc_rarity_capped,
     }
 
 
@@ -1479,6 +1490,8 @@ FROM media_ok
     sqls["knn_pq"] = sqls["knn_brute"]
     # IVF at full probe (nprobe=nlist) is exact by construction
     sqls["knn_ivf"] = sqls["knn_brute"]
+    # identical output contract for any df_cap
+    sqls["doc_rarity_capped"] = sqls["doc_rarity"]
     # CMS estimates are exact at this vocabulary → sketch top-k == exact
     sqls["heavy_hitters"] = sqls["top_terms"]
     # leakage-safe grouped split: every doc buckets by its component

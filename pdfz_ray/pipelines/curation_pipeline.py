@@ -133,8 +133,15 @@ def write_training_shards(
         .groupby(["shard", "bucket"])
         .aggregate(Sum("total", alias_name="total"))
         .to_pandas()
-        .sort_values(["shard", "bucket"])
     )
+    if "shard" not in all_totals.columns:
+        # a corpus with ZERO survivors yields only empty blocks, whose
+        # to_pandas loses the schema; every shard then commits empty
+        # (the r2 zero-survivor-SHARD fix, extended to the whole corpus)
+        import pandas as pd
+
+        all_totals = pd.DataFrame({"shard": [], "bucket": [], "total": []})
+    all_totals = all_totals.sort_values(["shard", "bucket"])
 
     ran, skipped = [], []
     for sid in range(n_shards):

@@ -27,9 +27,18 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 STRESS_ROOT = "/tmp/pdfz_ray_stress"
 
 
-def replicate_documents(replicas: int, out_name: str, n_parts: int = 8) -> str:
+def replicate_documents(
+    replicas: int, out_name: str, n_parts: int = 8, preserve_modulus: int = 0
+) -> str:
     """sf0.1 documents × replicas with unique doc_ids (same text → every
-    doc is a `replicas`-deep exact-dup group: the adversarial profile)."""
+    doc is a `replicas`-deep exact-dup group: the adversarial profile).
+
+    ``preserve_modulus=m``: replica offsets are multiples of a
+    ceil(n/m)*m stride so doc_id % m is preserved — needed by the
+    curation tier, whose benchmark slice is doc_id % 23 == 0: sequential
+    offsets would sweep EVERY text into the bench slice and contaminate
+    the whole corpus (zero survivors — a real edge, but covered by a
+    pytest, not the throughput stress)."""
     d = os.path.join(STRESS_ROOT, out_name)
     marker = os.path.join(d, "_DONE")
     if os.path.exists(marker):
@@ -37,13 +46,14 @@ def replicate_documents(replicas: int, out_name: str, n_parts: int = 8) -> str:
     os.makedirs(d, exist_ok=True)
     base = pq.read_table(f"{SF_DIR}/documents.parquet")
     n = base.num_rows
+    stride = n if preserve_modulus <= 0 else -(-n // preserve_modulus) * preserve_modulus
     # split range(replicas) across parts without dropping the remainder
     # (replicas // n_parts per part silently under-replicated: 20 asked /
     # 8 parts gave 16 — the "100k" corpus was 80k docs)
     splits = np.array_split(np.arange(replicas), min(n_parts, replicas))
     for p, ks in enumerate(splits):
         parts = [
-            base.set_column(0, "doc_id", pc.add(base.column("doc_id"), int(k) * n))
+            base.set_column(0, "doc_id", pc.add(base.column("doc_id"), int(k) * stride))
             for k in ks
         ]
         if parts:
@@ -123,7 +133,7 @@ def curation1m():
     )
     from pdfz_ray.pipelines.curation_pipeline import write_training_shards
 
-    d = replicate_documents(200, "docs-1m", n_parts=32)
+    d = replicate_documents(200, "docs-1m", n_parts=32, preserve_modulus=23)
 
     def docs():
         return rd.read_parquet(d, columns=["doc_id", "text"])

@@ -585,3 +585,32 @@ def test_write_training_shards_empty_shard(ray_session, tmp_path):
     assert any(m["n_docs"] == 0 for m in man)  # empty shard committed
     res2 = write_training_shards(src, out, n_shards=4, budget=64)
     assert res2["ran"] == [] and len(res2["skipped"]) == 4
+
+
+def test_write_training_shards_zero_survivor_corpus(ray_session, tmp_path):
+    """A corpus where NO document survives curation (here: every doc is
+    benchmark-contaminated because all texts share grams with the
+    doc_id%23==0 slice) must commit all shards as empty instead of
+    crashing on the schema-less empty bucket-totals frame (found by the
+    1M-doc stress, whose sequential replica ids swept every text into
+    the bench slice)."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdfz_ray.pipelines.curation_pipeline import write_training_shards
+
+    # one shared text → doc 0 is in the bench slice → every doc shares
+    # all its grams with the benchmark → all contaminated
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [{"doc_id": i, "text": text} for i in range(30)]
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.Table.from_pylist(rows), src)
+    out = str(tmp_path / "shards")
+    res = write_training_shards(src, out, n_shards=3, budget=64)
+    assert sorted(res["ran"]) == [0, 1, 2]
+    man = [json.loads(l) for l in open(res["manifest"])]
+    assert len(man) == 3 and all(m["n_docs"] == 0 for m in man)
+    res2 = write_training_shards(src, out, n_shards=3, budget=64)
+    assert res2["ran"] == [] and len(res2["skipped"]) == 3
