@@ -706,6 +706,58 @@ def _q_hash_sample(sf_dir: str):
     return ds.map_batches(hash_sample_batch, batch_format="pyarrow")
 
 
+def _docs_with_source(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+
+
+def _q_passage_stats(sf_dir: str):
+    """Passage-level exact-substring duplication stats (Lee et al. 2107.06499
+    word-window variant): per doc, total 5-token windows and how many appear
+    in >= 2 distinct docs corpus-wide."""
+    from pdfz_ray.functions.curation import passage_stats
+
+    return passage_stats(_docs_table(sf_dir), n=5, min_docs=2)
+
+
+def _q_mixture_plan(sf_dir: str):
+    """Dataset-mixture application: integer-exact per-doc copy counts from
+    source weights + a token budget (multi-epoch oversampling included)."""
+    from pdfz_ray.functions.curation import mixture_plan
+
+    return mixture_plan(_docs_with_source(sf_dir))
+
+
+def _q_dedup_against(sf_dir: str):
+    """Cross-corpus exact dedup: drop corpus docs whose 64-bit content
+    fingerprint appears in the reference slice (source='src0')."""
+    from pdfz_ray.functions.curation import dedup_against
+
+    return dedup_against(_docs_with_source(sf_dir))
+
+
+def _q_shuffle_rank(sf_dir: str):
+    """Global deterministic training-shuffle rank via hash-range
+    partitioning (distributed zipWithIndex)."""
+    import ray.data
+
+    from pdfz_ray.functions.curation import shuffle_rank
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return shuffle_rank(ds)
+
+
+def _q_inference_buckets(sf_dir: str):
+    """Power-of-two length-bucket stats incl. padding waste — the batcher
+    planner's view of the corpus."""
+    from pdfz_ray.functions.curation import inference_buckets
+
+    return inference_buckets(_docs_table(sf_dir))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordering note: the correctness driver verifies the FIRST 50 entries,
     # so the window holds (a) the flagship extraction surface, (b) every
@@ -735,6 +787,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_corpus": _q_curate_corpus,
         "split_leakage": _q_split_leakage,
         "split_assign_grouped": _q_split_assign_grouped,
+        # round-3 curation additions (new → inside the driver window)
+        "passage_stats": _q_passage_stats,
+        "mixture_plan": _q_mixture_plan,
+        "dedup_against": _q_dedup_against,
+        "shuffle_rank": _q_shuffle_rank,
+        "inference_buckets": _q_inference_buckets,
+        # round-3 scale-path variants (new → inside the driver window)
+        "knn_ivf": _q_knn_ivf,
+        "doc_rarity_capped": _q_doc_rarity_capped,
         # wide-op analytics (TPC-H-ish tables)
         "events_hourly": _q_events_hourly,
         "orders_price_quantiles": _q_price_quantiles,
@@ -763,6 +824,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": _q_asof_join,
         "sliding_event_counts": _q_sliding_counts,
         "orders_price_bands": _q_price_bands,
+        # ---- driver window boundary (entries below were driver-green in
+        # CORRECTNESS_r02 — or rows-only by design — and unchanged since;
+        # pytest + scripts/check_queries.py still cover them) ----
         "approx_distinct_users": _q_approx_distinct_users,
         # joins
         "customers_without_orders": _q_customers_without_orders,
@@ -772,8 +836,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": _q_heavy_hitters,
         "lineitem_pricing": _q_lineitem_pricing,
         "orders_by_nation": _q_orders_by_nation,
-        # ---- driver window boundary (entries below were driver-green in
-        # CORRECTNESS_r02 and unchanged since; pytest still covers them) ----
         # text analysis (driver documents table)
         "text_stats": _q_text_stats,
         "quality_filter": _q_quality_filter,
@@ -789,11 +851,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing
         "frame_sample": _q_frame_sample,
         "audio_energy": _q_audio_energy,
-        # IVF ANN (exactness-pinned full-probe config; placed past the
-        # driver's 50-query window — partial-probe recall is pytest-held)
-        "knn_ivf": _q_knn_ivf,
-        # df-cap fallback exactness (merge path; same oracle as doc_rarity)
-        "doc_rarity_capped": _q_doc_rarity_capped,
     }
 
 
@@ -864,6 +921,15 @@ SELECT doc_id,
        CAST(page_num AS INTEGER) AS page_num, kind, text, media_ref
 FROM allr
 """
+
+
+def _mixture_sql() -> str:
+    """The mixture oracle is GENERATED from the same weight/budget spec the
+    Ray operator uses (pdfz_ray.functions.curation.mixture_sql) — the two
+    sides share one source of truth and cannot drift."""
+    from pdfz_ray.functions.curation import mixture_sql
+
+    return mixture_sql()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1411,6 +1477,64 @@ FROM media_ok
               FROM dt d JOIN df f USING (term)
             )
             WHERE rn = 1
+        """,
+        # passage-level duplication stats: 5-token stride-1 windows; a
+        # window is "common" when its passage string occurs in >= 2
+        # DISTINCT docs (the Ray side compares 64-bit window fingerprints —
+        # collision-free at verification scale, see passage_stats docstring)
+        "passage_stats": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(coalesce(text, ''), '\S+') AS w
+              FROM documents
+            ),
+            wins AS (
+              SELECT doc_id,
+                     array_to_string(w[CAST(i AS INT):CAST(i AS INT) + 4], ' ') AS p
+              FROM toks, unnest(range(1, len(w) - 5 + 2)) AS t(i)
+              WHERE len(w) >= 5
+            ),
+            dp AS (SELECT DISTINCT doc_id, p FROM wins),
+            common AS (SELECT p FROM dp GROUP BY p HAVING count(*) >= 2)
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_windows,
+                   CAST(coalesce(sum(CASE WHEN p IN (SELECT p FROM common)
+                                          THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dup_windows
+            FROM wins GROUP BY doc_id
+        """,
+        # generated from the SAME weight/budget constants as the Ray side
+        "mixture_plan": _mixture_sql(),
+        # cross-corpus exact dedup on the identical 64-bit md5 prefix
+        "dedup_against": r"""
+            SELECT doc_id, source FROM documents
+            WHERE source <> 'src0'
+              AND substr(md5(coalesce(text, '')), 1, 16) NOT IN
+                  (SELECT substr(md5(coalesce(text, '')), 1, 16)
+                   FROM documents WHERE source = 'src0')
+        """,
+        # corpus-wide deterministic shuffle permutation (md5 hex ordering ==
+        # 128-bit value ordering; doc_id tiebreak is vacuous but pinned)
+        "shuffle_rank": r"""
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                           doc_id) AS BIGINT) - 1 AS shuffle_pos
+            FROM documents
+        """,
+        # next-pow2 length buckets (float log2 is exact at pow-2 boundaries
+        # on both sides)
+        "inference_buckets": r"""
+            WITH b AS (
+              SELECT CAST(len(regexp_extract_all(coalesce(text, ''), '\S+')) AS BIGINT) AS nt
+              FROM documents
+            ),
+            bb AS (
+              SELECT CAST(power(2, ceil(log2(greatest(nt, 1)))) AS BIGINT) AS bucket, nt
+              FROM b
+            )
+            SELECT bucket,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(nt) AS BIGINT) AS sum_tokens,
+                   CAST(sum(bucket - nt) AS BIGINT) AS pad_tokens
+            FROM bb GROUP BY bucket
         """,
         # exact P25 threshold: smallest token count whose cumulative doc
         # count reaches ceil(25% of docs) — same walk as the Ray histogram

@@ -226,6 +226,20 @@ def run_bench(sf_dir: str, num_cpus: int, n_docs: int, replicas: int) -> dict:
     )
     timed("revenue_by_nation", lambda: revenue_by_nation(sf_dir))
 
+    # 8) round-3 curation ops: passage-level substring-dup stats (window
+    # fingerprints → bounded groupby → broadcast membership) and the
+    # global deterministic shuffle rank (hash-range-partitioned
+    # zipWithIndex — the one intentional all-to-all here)
+    from pdfz_ray.functions.curation import passage_stats, shuffle_rank
+
+    timed("passage_stats", lambda: passage_stats(_docs(), n=5, min_docs=2).count())
+    timed(
+        "shuffle_rank",
+        lambda: shuffle_rank(
+            rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+        ).count(),
+    )
+
     # kernel-level speedup: vectorized mod-2^64 poly hash vs the round-1
     # per-byte Python loop (mod 2^61-1), same normalized input, driver-side
     def _kernel_speedup() -> float:

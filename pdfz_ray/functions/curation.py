@@ -982,3 +982,426 @@ def split_assign_grouped(
         )
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Round-3 additions: passage-level duplication stats, dataset mixture
+# planning, cross-corpus dedup, global deterministic shuffle rank, and
+# inference length-bucketing. These extend the reference's dedup surface
+# (in-flight dedup `api/src/server.ts:90-103`) to the corpus-level
+# operations a pretraining-data pipeline runs before sharding.
+# ---------------------------------------------------------------------------
+
+
+def _window_hashes(
+    text_col, n: int, base: int | None = None
+) -> tuple[np.ndarray, np.ndarray]:
+    """64-bit order-sensitive hashes of every length-``n`` token window
+    (stride 1) → (window hashes uint64, parent row indices). Token
+    hashes come from the vectorized poly-2^64 kernel; windows are
+    combined with a second polynomial pass (n-1 vectorized fused
+    multiply-adds over the flat token-hash array, doc boundaries
+    masked). A window hash equals the oracle's space-joined passage
+    string up to 64-bit collisions (P ≈ W²/2^65 — negligible below
+    ~10^8 distinct windows per verification corpus; at web scale the
+    stats are fingerprint-grade, the standard trade for this op)."""
+    from .text import POLY_BASE, poly64_array
+
+    b = np.uint64(base if base is not None else POLY_BASE)
+    toks, parent = _doc_tokens(text_col)
+    th = poly64_array(toks)
+    w = len(th) - n + 1
+    if w <= 0:
+        return np.zeros(0, np.uint64), np.zeros(0, np.int64)
+    acc = th[:w].copy()
+    for k in range(1, n):
+        acc *= b
+        acc += th[k : w + k]
+    valid = parent[:w] == parent[n - 1 :]
+    return acc[valid], parent[:w][valid]
+
+
+def passage_stats(
+    ds: "ray.data.Dataset", n: int = 5, min_docs: int = 2
+) -> "ray.data.Dataset":
+    """Passage-level exact-substring duplication stats (the
+    dedup-common-passages analysis of Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", arXiv:2107.06499,
+    expressed over word windows): for every doc with ≥ n tokens, the
+    total number of length-n token windows and how many of them are
+    "common" — appear in ≥ ``min_docs`` distinct documents corpus-wide.
+
+    Scale shape: phase 1 emits per-doc-DISTINCT window hashes with an
+    in-batch partial count (each doc lives in exactly one row, so batch
+    partials sum to exact distinct-doc counts); the groupby shuffle is
+    bounded by the number of DISTINCT passages, 8 B each, never the
+    corpus text. Phase 2 broadcasts only the ≥ min_docs survivors (the
+    duplicated-passage set — small unless the corpus is pathologically
+    duplicated; for a dup-heavy web crawl run `exact_dedup` first, and
+    beyond that shard the common set by hash and take the doc_rarity
+    partitioned-merge path) and streams docs through a vectorized
+    searchsorted membership count. Output: (doc_id, n_windows,
+    n_dup_windows)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        wh, parent = _window_hashes(batch.column("text"), n)
+        if len(wh) == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.int64())],
+                names=["whash", "cnt"],
+            )
+        # distinct (doc, whash) inside the batch, then count docs per hash
+        pairs = np.unique(np.stack([parent.astype(np.uint64), wh], 1), axis=0)
+        uh, cnt = np.unique(pairs[:, 1], return_counts=True)
+        return pa.Table.from_arrays(
+            [pa.array(uh.view(np.int64)), pa.array(cnt.astype(np.int64))],
+            names=["whash", "cnt"],
+        )
+
+    df = (
+        ds.map_batches(distinct_partial, batch_format="pyarrow")
+        .groupby("whash")
+        .aggregate(Sum("cnt", alias_name="docs"))
+    )
+    common = df.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("docs"), min_docs)).select(
+            ["whash"]
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    common_sorted = np.sort(
+        common["whash"].to_numpy().astype(np.int64).view(np.uint64)
+        if len(common)
+        else np.zeros(0, np.uint64)
+    )
+    ref = ray.put(common_sorted)
+
+    def annotate(batch: pa.Table) -> pa.Table:
+        cs = ray.get(ref)
+        empty = pa.Table.from_arrays(
+            [pa.array([], pa.int64())] * 3,
+            names=["doc_id", "n_windows", "n_dup_windows"],
+        )
+        if batch.num_rows == 0:
+            return empty
+        wh, parent = _window_hashes(batch.column("text"), n)
+        if len(wh) == 0:
+            return empty
+        n_win = np.bincount(parent, minlength=batch.num_rows)
+        if len(cs):
+            pos = np.searchsorted(cs, wh)
+            hit = (pos < len(cs)) & (cs[np.minimum(pos, len(cs) - 1)] == wh)
+        else:
+            hit = np.zeros(len(wh), bool)
+        n_dup = np.bincount(parent, weights=hit, minlength=batch.num_rows)
+        keep = n_win > 0
+        idx = np.nonzero(keep)[0]
+        return pa.Table.from_arrays(
+            [
+                batch.column("doc_id").take(pa.array(idx)),
+                pa.array(n_win[keep].astype(np.int64)),
+                pa.array(n_dup[keep].astype(np.int64)),
+            ],
+            names=["doc_id", "n_windows", "n_dup_windows"],
+        )
+
+    return ds.map_batches(annotate, batch_format="pyarrow")
+
+
+# default mixture spec shared by the query entry and its SQL twin:
+# integer weight parts per source (missing sources weigh 1)
+MIXTURE_WEIGHTS = {"src0": 3, "src1": 2}
+MIXTURE_BUDGET = 20_000  # target mixture size in tokens
+
+
+def mixture_plan(
+    ds: "ray.data.Dataset",
+    weights: dict[str, int] | None = None,
+    budget: int = MIXTURE_BUDGET,
+) -> "ray.data.Dataset":
+    """Dataset-mixture application: given integer weight parts per source
+    and a total token budget, compute each source's token target
+    G_s = budget·w_s // Σw, then assign every doc a deterministic copy
+    count so the source contributes ≈ G_s tokens: base copies
+    G_s // T_s (T_s = source token total — an up-weighted source
+    replicates, i.e. multi-epoch oversampling), plus one extra copy for
+    the content-hash fraction of docs covering the remainder
+    (bucket·T_s < (G_s mod T_s)·65536, the same 16-bit md5 bucket as
+    ``hash_sample_batch`` — stable across runs and cluster sizes).
+    All-integer arithmetic: SQL-exact, no float rates anywhere.
+
+    Scale shape: phase 1 is a per-source token-sum partial (shuffle =
+    one row per source per batch); the plan table is sources-sized,
+    closure-captured. Phase 2 is a stateless per-batch map. Sources
+    with zero tokens emit no rows (mirrors the SQL inner join).
+    Output: (doc_id, source, n_copies)."""
+    from ray.data.aggregate import Sum
+
+    weights = MIXTURE_WEIGHTS if weights is None else weights
+    sum_w_default = 1
+
+    def token_partial(batch: pa.Table) -> pa.Table:
+        nt = pc.cast(
+            pc.count_substring_regex(
+                pc.fill_null(batch.column("text"), ""), r"\S+"
+            ),
+            pa.int64(),
+        )
+        return pa.Table.from_arrays(
+            [batch.column("source"), nt], names=["source", "nt"]
+        )
+
+    totals = (
+        ds.map_batches(token_partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("nt", alias_name="ts"))
+        .to_pandas()
+    )
+    # Σw spans every source present in the corpus (weights default to 1)
+    srcs = sorted(totals["source"].astype(str)) if len(totals) else []
+    sum_w = sum(int(weights.get(s, sum_w_default)) for s in srcs)
+    plan: dict[str, tuple[int, int, int]] = {}
+    for _, row in totals.iterrows():
+        s, ts = str(row["source"]), int(row["ts"])
+        if ts <= 0:
+            continue
+        gs = (budget * int(weights.get(s, sum_w_default))) // max(sum_w, 1)
+        plan[s] = (gs // ts, gs % ts, ts)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        sources = batch.column("source").to_pylist()
+        buckets = np.array(
+            [int(hashlib.md5((t or "").encode()).hexdigest()[:4], 16) for t in texts],
+            np.int64,
+        )
+        copies = np.zeros(len(sources), np.int64)
+        known = np.zeros(len(sources), bool)
+        for i, s in enumerate(sources):
+            p = plan.get(s)
+            if p is None:
+                continue
+            q, r, ts = p
+            known[i] = True
+            copies[i] = q + (1 if buckets[i] * ts < r * 65536 else 0)
+        return pa.Table.from_arrays(
+            [
+                batch.column("doc_id").filter(pa.array(known)),
+                batch.column("source").filter(pa.array(known)),
+                pa.array(copies[known]),
+            ],
+            names=["doc_id", "source", "n_copies"],
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def mixture_sql(
+    weights: dict[str, int] | None = None, budget: int = MIXTURE_BUDGET
+) -> str:
+    """DuckDB twin of :func:`mixture_plan`, generated from the SAME
+    weight spec so the two sides cannot drift."""
+    weights = MIXTURE_WEIGHTS if weights is None else weights
+    cases = " ".join(
+        f"WHEN '{s}' THEN {int(w)}" for s, w in sorted(weights.items())
+    )
+    w_expr = f"CASE source {cases} ELSE 1 END"
+    return f"""
+        WITH base AS (
+          SELECT doc_id, source,
+                 CAST(len(regexp_extract_all(coalesce(text,''), '\\S+')) AS BIGINT) AS nt,
+                 CAST('0x' || substr(md5(coalesce(text,'')), 1, 4) AS BIGINT) AS bucket
+          FROM documents
+        ),
+        tot AS (SELECT source, CAST(sum(nt) AS BIGINT) AS ts FROM base GROUP BY source),
+        sw AS (SELECT CAST(sum({w_expr}) AS BIGINT) AS s FROM (SELECT DISTINCT source FROM base) d(source)),
+        plan AS (
+          SELECT source, ts,
+                 ({budget} * ({w_expr})) // (SELECT greatest(s, 1) FROM sw) AS gs
+          FROM tot WHERE ts > 0
+        )
+        SELECT b.doc_id, b.source,
+               CAST(p.gs // p.ts
+                    + CASE WHEN b.bucket * p.ts < (p.gs % p.ts) * 65536
+                           THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+        FROM base b JOIN plan p USING (source)
+    """
+
+
+def dedup_against(
+    ds: "ray.data.Dataset", ref_source: str = "src0"
+) -> "ray.data.Dataset":
+    """Cross-corpus exact dedup: drop from the corpus every document
+    whose content fingerprint appears in a REFERENCE corpus (here: the
+    ``ref_source`` slice of the same table; in production, a previous
+    crawl or an already-trained dataset). The fingerprint is the first
+    64 bits of md5(text) — both sides of the oracle use the identical
+    prefix, so the comparison is exact.
+
+    Scale shape: the reference side reduces to one uint64 per DISTINCT
+    reference doc, broadcast once via ``ray.put`` (8 B/doc — ~8 GB per
+    10^9 reference docs; beyond that, swap the broadcast for the
+    hash-partitioned anti-join merge used by ``doc_rarity``'s capped
+    path, or a Bloom pre-filter in front of it). The corpus side
+    streams one vectorized searchsorted filter. Output: the surviving
+    (doc_id, source) rows."""
+    import ray
+
+    def ref_hashes(batch: pa.Table) -> pa.Table:
+        mask = pc.equal(batch.column("source"), ref_source)
+        texts = batch.filter(mask).column("text").to_pylist()
+        h = np.array(
+            [
+                np.uint64(int(hashlib.md5((t or "").encode()).hexdigest()[:16], 16))
+                for t in texts
+            ],
+            np.uint64,
+        )
+        return pa.Table.from_arrays(
+            [pa.array(np.unique(h).view(np.int64))], names=["h"]
+        )
+
+    # per-batch partials are already unique; a driver-side unique merges
+    # them (the broadcast below is driver-bounded regardless)
+    ref_tbl = ds.map_batches(ref_hashes, batch_format="pyarrow").to_pandas()
+    ref_sorted = (
+        np.unique(ref_tbl["h"].to_numpy().astype(np.int64).view(np.uint64))
+        if len(ref_tbl)
+        else np.zeros(0, np.uint64)
+    )
+    ref = ray.put(ref_sorted)
+
+    def survivors(batch: pa.Table) -> pa.Table:
+        rh = ray.get(ref)
+        mask = pc.not_equal(batch.column("source"), ref_source).to_numpy(
+            zero_copy_only=False
+        )
+        texts = batch.column("text").to_pylist()
+        keep = mask.copy()
+        if len(rh):
+            idx = np.nonzero(mask)[0]
+            h = np.array(
+                [
+                    np.uint64(
+                        int(hashlib.md5((texts[i] or "").encode()).hexdigest()[:16], 16)
+                    )
+                    for i in idx
+                ],
+                np.uint64,
+            )
+            pos = np.searchsorted(rh, h)
+            dup = (pos < len(rh)) & (rh[np.minimum(pos, len(rh) - 1)] == h)
+            keep[idx[dup]] = False
+        return batch.select(["doc_id", "source"]).filter(pa.array(keep))
+
+    return ds.map_batches(survivors, batch_format="pyarrow")
+
+
+def shuffle_rank(
+    ds: "ray.data.Dataset", bucket_hex_digits: int = 3
+) -> "ray.data.Dataset":
+    """Global deterministic training-shuffle rank: every doc's position
+    in the corpus-wide permutation ordered by (md5(doc_id), doc_id) —
+    the reproducible global shuffle a training-shard writer needs (same
+    order on any cluster size, resumable, no RNG state).
+
+    Distributed rank via range partitioning on the hash's hex prefix:
+    pass 1 counts docs per prefix bucket (partial per batch — the
+    shuffle is bucket-count-sized); the driver cumsums the tiny
+    histogram into bucket offsets; pass 2 groups by bucket, sorts
+    inside each bucket, and emits offset + local index. With d hex
+    digits there are 16^d buckets (~corpus/16^d rows per group — raise
+    ``bucket_hex_digits`` so groups fit in a worker's heap; md5 spreads
+    uniformly, no skew). Output: (doc_id, shuffle_pos)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    nd = bucket_hex_digits
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        keys = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        buckets = np.array([int(k[:nd], 16) for k in keys], np.int64)
+        return pa.Table.from_arrays(
+            [batch.column("doc_id"), pa.array(keys, pa.string()), pa.array(buckets)],
+            names=["doc_id", "key", "bucket"],
+        )
+
+    # the keyed projection is narrow (48 B/doc) but corpus-row-sized, so it
+    # is recomputed per pass (two cheap scans) rather than materialized —
+    # pinning 10^12 rows in the object store buys nothing the groupby
+    # shuffle doesn't already pay for
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow")
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        # in-batch bincount partial: the histogram shuffle carries at most
+        # 16^d rows per BATCH, never one row per doc
+        b, c = np.unique(t.column("bucket").to_numpy(), return_counts=True)
+        return pa.Table.from_arrays(
+            [pa.array(b), pa.array(c.astype(np.int64))], names=["bucket", "c"]
+        )
+
+    hist = (
+        keyed_ds.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("c", alias_name="n"))
+        .to_pandas()
+    )
+    offsets = np.zeros(16**nd + 1, np.int64)
+    if len(hist):
+        offsets[hist["bucket"].to_numpy() + 1] = hist["n"].to_numpy()
+    offsets = np.cumsum(offsets)
+    off_ref = ray.put(offsets)
+
+    def rank_bucket(group: pa.Table) -> pa.Table:
+        off = ray.get(off_ref)
+        b = int(group.column("bucket")[0].as_py())
+        order = pc.sort_indices(
+            group, sort_keys=[("key", "ascending"), ("doc_id", "ascending")]
+        )
+        ranked = group.take(order)
+        pos = off[b] + np.arange(group.num_rows, dtype=np.int64)
+        return pa.Table.from_arrays(
+            [ranked.column("doc_id"), pa.array(pos)],
+            names=["doc_id", "shuffle_pos"],
+        )
+
+    return keyed_ds.groupby("bucket").map_groups(rank_bucket, batch_format="pyarrow")
+
+
+def inference_buckets(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Length-bucketed batching stats for model inference / training:
+    assign every doc to the next power-of-two token-length bucket and
+    report, per bucket, the doc count, the useful tokens, and the
+    padding waste (bucket_len − n_tokens summed) — the planner's view of
+    how much compute a fixed-shape batcher would burn. Stateless
+    per-batch map + a bucket-count-sized groupby. Output: (bucket,
+    n_docs, sum_tokens, pad_tokens)."""
+    from ray.data.aggregate import Count, Sum
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        nt = pc.cast(
+            pc.count_substring_regex(
+                pc.fill_null(batch.column("text"), ""), r"\S+"
+            ),
+            pa.int64(),
+        ).to_numpy()
+        # next power of two ≥ max(nt, 1); float log2 is exact at the
+        # boundaries (powers of two are exact doubles) — matches the SQL
+        b = np.power(2.0, np.ceil(np.log2(np.maximum(nt, 1)))).astype(np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(b), pa.array(nt), pa.array(b - nt)],
+            names=["bucket", "nt", "pad"],
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("nt", alias_name="sum_tokens"),
+            Sum("pad", alias_name="pad_tokens"),
+        )
+    )

@@ -497,3 +497,167 @@ def test_doc_rarity_df_cap_identical(ray_session):
     assert len(full) == 30
     for cap in (1, 2, 5, 50):
         assert run(cap).equals(full), f"df_cap={cap} diverged"
+
+
+# ---------------------------------------------------------------------------
+# round-3 operators: passage stats, mixture plan, cross-corpus dedup,
+# shuffle rank, inference buckets
+# ---------------------------------------------------------------------------
+
+
+def _passage_ref(texts, n, min_docs):
+    """Independent pure-Python reference over passage STRINGS (the SQL
+    semantics, no hashing)."""
+    wins = []  # (doc, [passages])
+    for t in texts:
+        toks = re.findall(r"\S+", t or "", flags=re.ASCII)
+        wins.append([" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)])
+    from collections import Counter
+
+    docs_per = Counter()
+    for ws in wins:
+        for p in set(ws):
+            docs_per[p] += 1
+    out = {}
+    for i, ws in enumerate(wins):
+        if ws:
+            out[i] = (len(ws), sum(1 for p in ws if docs_per[p] >= min_docs))
+    return out
+
+
+def test_passage_stats_matches_string_reference(ray_session):
+    import ray.data
+
+    from pdfz_ray.functions.curation import passage_stats
+
+    shared = "the quick brown fox jumps over the lazy dog tonight"
+    texts = [
+        shared,
+        "prefix words " + shared + " suffix words",
+        "totally unrelated content with enough tokens to form windows here",
+        "short one",  # < 5 tokens → no row
+        shared,  # exact dup of doc 0
+        "",
+    ]
+    ds = ray.data.from_arrow(
+        pa.Table.from_arrays(
+            [pa.array(range(len(texts)), pa.int64()), pa.array(texts)],
+            names=["doc_id", "text"],
+        )
+    )
+    got = {
+        int(r["doc_id"]): (int(r["n_windows"]), int(r["n_dup_windows"]))
+        for r in passage_stats(ds, n=5, min_docs=2).take_all()
+    }
+    assert got == _passage_ref(texts, 5, 2)
+    # the shared sentence makes every window of doc 0 common
+    assert got[0][0] == got[0][1] > 0
+
+
+def test_mixture_plan_budget_and_determinism(ray_session):
+    import ray.data
+
+    from pdfz_ray.functions.curation import mixture_plan
+
+    rng = np.random.default_rng(7)
+    n = 400
+    texts = [
+        " ".join(f"w{rng.integers(50)}" for _ in range(int(rng.integers(5, 40))))
+        for _ in range(n)
+    ]
+    srcs = [f"s{i % 3}" for i in range(n)]
+    tbl = pa.Table.from_arrays(
+        [pa.array(range(n), pa.int64()), pa.array(texts), pa.array(srcs)],
+        names=["doc_id", "text", "source"],
+    )
+    ds = ray.data.from_arrow(tbl)
+    weights, budget = {"s0": 6, "s1": 1, "s2": 1}, 30_000
+    out = mixture_plan(ds, weights=weights, budget=budget).take_all()
+    assert len(out) == n
+    # per-source realized tokens ≈ the integer target G_s (within one
+    # max-doc-length of the remainder rounding)
+    ntok = {i: len(texts[i].split()) for i in range(n)}
+    tot = {}
+    for r in out:
+        tot.setdefault(r["source"], [0, 0])
+        tot[r["source"]][0] += ntok[int(r["doc_id"])] * int(r["n_copies"])
+    ts = {}
+    for i in range(n):
+        ts[srcs[i]] = ts.get(srcs[i], 0) + ntok[i]
+    sum_w = sum(weights.values())
+    for s, (realized, _) in tot.items():
+        gs = budget * weights[s] // sum_w
+        # the remainder lands on a hash-selected doc FRACTION, so the
+        # realized total is binomial around G_s — bound statistically
+        assert abs(realized - gs) <= 0.15 * gs + max(ntok.values()), (s, realized, gs)
+    # upweighted source oversamples: every s0 doc gets >= 1 copy
+    s0 = [int(r["n_copies"]) for r in out if r["source"] == "s0"]
+    assert min(s0) >= 1
+    # deterministic across runs
+    out2 = mixture_plan(ds, weights=weights, budget=budget).take_all()
+    assert sorted((r["doc_id"], r["n_copies"]) for r in out) == sorted(
+        (r["doc_id"], r["n_copies"]) for r in out2
+    )
+
+
+def test_dedup_against_drops_exact_cross_matches(ray_session):
+    import ray.data
+
+    from pdfz_ray.functions.curation import dedup_against
+
+    texts = ["ref only", "in both corpora", "corpus only", "in both corpora", "another"]
+    srcs = ["src0", "src0", "web", "web", "web"]
+    ds = ray.data.from_arrow(
+        pa.Table.from_arrays(
+            [pa.array(range(5), pa.int64()), pa.array(texts), pa.array(srcs)],
+            names=["doc_id", "text", "source"],
+        )
+    )
+    out = dedup_against(ds, ref_source="src0").take_all()
+    kept = sorted(int(r["doc_id"]) for r in out)
+    # doc 3 matches reference doc 1's content → dropped; ref docs never emit
+    assert kept == [2, 4]
+
+
+def test_shuffle_rank_is_exact_permutation(ray_session):
+    import hashlib
+
+    import ray.data
+
+    from pdfz_ray.functions.curation import shuffle_rank
+
+    ids = list(range(1000))
+    ds = ray.data.from_arrow(
+        pa.Table.from_arrays([pa.array(ids, pa.int64())], names=["doc_id"])
+    )
+    out = shuffle_rank(ds, bucket_hex_digits=2).take_all()
+    pos = {int(r["doc_id"]): int(r["shuffle_pos"]) for r in out}
+    assert sorted(pos.values()) == ids  # a complete 0..n-1 permutation
+    # matches the single-machine reference order exactly
+    ref_order = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    assert all(pos[d] == r for r, d in enumerate(ref_order))
+    # bucketing granularity does not change the permutation
+    out3 = shuffle_rank(ds, bucket_hex_digits=3).take_all()
+    assert {int(r["doc_id"]): int(r["shuffle_pos"]) for r in out3} == pos
+
+
+def test_inference_buckets_pow2_and_padding(ray_session):
+    import ray.data
+
+    from pdfz_ray.functions.curation import inference_buckets
+
+    texts = ["w " * k for k in [1, 2, 3, 4, 5, 9, 16, 17, 0]]
+    ds = ray.data.from_arrow(
+        pa.Table.from_arrays(
+            [pa.array(range(len(texts)), pa.int64()), pa.array([t.strip() for t in texts])],
+            names=["doc_id", "text"],
+        )
+    )
+    rows = {int(r["bucket"]): r for r in inference_buckets(ds).take_all()}
+    # nt: 1,2,3,4,5,9,16,17,0 → buckets 1,2,4,4,8,16,16,32,1
+    assert rows[1]["n_docs"] == 2 and rows[1]["pad_tokens"] == 1
+    assert rows[2]["n_docs"] == 1 and rows[2]["pad_tokens"] == 0
+    assert rows[4]["n_docs"] == 2 and rows[4]["pad_tokens"] == 1
+    assert rows[8]["n_docs"] == 1 and rows[8]["pad_tokens"] == 3
+    assert rows[16]["n_docs"] == 2 and rows[16]["pad_tokens"] == 7
+    assert rows[32]["n_docs"] == 1 and rows[32]["pad_tokens"] == 15
