@@ -520,6 +520,58 @@ def _q_audio_energy(sf_dir: str):
     )
 
 
+def _q_html_main_content(sf_dir: str):
+    """HTML boilerplate strip / main-content extraction (DOM heuristics)
+    over the synthetic HTML corpus; checked against the independent
+    regex-stack reference through the golden fixture."""
+    import ray.data
+
+    from pdfz_ray.sources.fixtures import ensure_fixtures
+    from pdfz_ray.stages.html import main_content_batch
+
+    paths = ensure_fixtures(sf_dir)
+    out = ray.data.read_parquet(paths["html_docs"]).map_batches(
+        main_content_batch, batch_format="pyarrow"
+    )
+    return out.select_columns(
+        ["doc_id", "n_blocks", "n_kept", "main_chars", "main_md5"]
+    )
+
+
+def _q_html_extract_tokens(sf_dir: str):
+    """Composed web pipeline: HTML parse → main content → token/quality
+    stats, fused in ONE streaming pass (the html.parser stage feeds the
+    vectorized text kernel inside the same map_batches chain — no
+    intermediate materialization). The oracle tokenizes the
+    INDEPENDENTLY-extracted golden main_text in SQL."""
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from pdfz_ray.sources.fixtures import ensure_fixtures
+    from pdfz_ray.stages.html import main_content_batch
+
+    paths = ensure_fixtures(sf_dir)
+
+    def stats(batch):
+        mc = main_content_batch(batch)
+        text = mc.column("main_text")
+        import pyarrow as pa
+
+        return pa.Table.from_arrays(
+            [
+                mc.column("doc_id"),
+                pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64()),
+                pc.cast(pc.utf8_length(text), pa.int64()),
+            ],
+            names=["doc_id", "n_tokens", "n_chars"],
+        )
+
+    return ray.data.read_parquet(paths["html_docs"]).map_batches(
+        stats, batch_format="pyarrow"
+    )
+
+
 def _q_frame_sample(sf_dir: str):
     import ray.data
 
@@ -776,6 +828,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "duplicate_doc_count": _q_duplicate_doc_count,
         "doc_progress": _q_doc_progress,
         "media_decode": _q_media_decode,
+        # round-3: HTML boilerplate strip (the north-rule's main-content
+        # extraction surface; golden-fixture oracle, independent reference)
+        "html_main_content": _q_html_main_content,
+        "html_extract_tokens": _q_html_extract_tokens,
         # corpus curation
         "decontaminate": _q_decontaminate,
         "pii_redact": _q_pii_redact,
@@ -822,11 +878,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seen_probe": _q_seen_probe,
         "top_users_by_type": _q_top_users,
         "asof_join": _q_asof_join,
-        "sliding_event_counts": _q_sliding_counts,
-        "orders_price_bands": _q_price_bands,
         # ---- driver window boundary (entries below were driver-green in
         # CORRECTNESS_r02 — or rows-only by design — and unchanged since;
         # pytest + scripts/check_queries.py still cover them) ----
+        "sliding_event_counts": _q_sliding_counts,
+        "orders_price_bands": _q_price_bands,
         "approx_distinct_users": _q_approx_distinct_users,
         # joins
         "customers_without_orders": _q_customers_without_orders,
@@ -1324,6 +1380,22 @@ FROM media_ok
         "audio_energy": f"""
             SELECT media_ref, n_samples, n_windows, energy, peak
             FROM read_parquet('{FIX}/golden_audio.parquet')
+        """,
+        # html.parser main-content stage vs the independent regex-stack
+        # reference (pdfz_ray/oracle.py main_content_ref) — same block
+        # model, disjoint implementations
+        "html_main_content": f"""
+            SELECT doc_id, n_blocks, n_kept, main_chars, main_md5
+            FROM read_parquet('{FIX}/golden_html.parquet')
+        """,
+        # tokenize the golden (reference-extracted) main text in SQL; the
+        # Ray side parses the raw HTML and tokenizes its own extraction —
+        # equality proves parse AND tokenize agree end-to-end
+        "html_extract_tokens": f"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(main_text, '\\S+')) AS BIGINT) AS n_tokens,
+                   CAST(strlen(main_text) AS BIGINT) AS n_chars
+            FROM read_parquet('{FIX}/golden_html.parquet')
         """,
         "top_terms": r"""
             WITH t AS (

@@ -155,3 +155,101 @@ def flatten_results(results: list[DocResult]) -> list[dict]:
                 }
             )
     return flat
+
+
+# ---------------------------------------------------------------------------
+# HTML main-content reference (independent implementation of the block
+# model in pdfz_ray/stages/html.py — regex token stream + explicit stack,
+# no html.parser; the two are differentially checked via the golden
+# fixture oracle)
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+_TAG_RE = _re.compile(r"<!--.*?-->|<[^>]+>", _re.S)
+_WS_RE = _re.compile(r"\s+")
+_DROP = frozenset(
+    "script style nav header footer aside form noscript template svg".split()
+)
+_BLOCK = frozenset("p h1 h2 h3 h4 h5 h6 li td blockquote pre".split())
+_VOID_SPACE = frozenset("br hr img".split())
+_ENTITIES = {"&amp;": "&", "&lt;": "<", "&gt;": ">", "&quot;": '"', "&#39;": "'"}
+
+
+def _unescape(s: str) -> str:
+    for k, v in _ENTITIES.items():
+        s = s.replace(k, v)
+    return s
+
+
+def main_content_ref(html: str, min_chars: int = 30) -> dict:
+    """Pure-Python reference for ``extract_main_content``: walks the raw
+    markup with a tag regex and an explicit stack. Same block model —
+    drop-subtree tags, nearest-block-ancestor text ownership, anchor
+    density < 1/3, min length, newline join."""
+    drop = 0
+    anchor = 0
+    blocks: list[tuple[list, list]] = []
+    out: list[tuple[str, str]] = []
+    pos = 0
+    html = html or ""
+    for m in _TAG_RE.finditer(html):
+        text = html[pos : m.start()]
+        pos = m.end()
+        if text and not drop and blocks:
+            t = _unescape(text)
+            blocks[-1][0].append(t)
+            if anchor:
+                blocks[-1][1].append(t)
+        tok = m.group(0)
+        if tok.startswith("<!--"):
+            continue
+        body = tok[1:-1].strip()
+        closing = body.startswith("/")
+        name = body.lstrip("/").split()[0].rstrip("/").lower() if body.lstrip("/") else ""
+        if name in _DROP:
+            drop = max(0, drop - 1) if closing else drop + 1
+            continue
+        if drop:
+            continue
+        if not closing and name in _VOID_SPACE:
+            if blocks:
+                blocks[-1][0].append(" ")
+                if anchor:
+                    blocks[-1][1].append(" ")
+            continue
+        if name == "a":
+            anchor = max(0, anchor - 1) if closing else anchor + 1
+            continue
+        if name in _BLOCK:
+            if closing:
+                if blocks:
+                    texts, anchors = blocks.pop()
+                    out.append(("".join(texts), "".join(anchors)))
+            else:
+                blocks.append(([], []))
+    tail = html[pos:]
+    if tail and not drop and blocks:
+        t = _unescape(tail)
+        blocks[-1][0].append(t)
+        if anchor:
+            blocks[-1][1].append(t)
+    while blocks:
+        texts, anchors = blocks.pop()
+        out.append(("".join(texts), "".join(anchors)))
+
+    def norm(s: str) -> str:
+        return _WS_RE.sub(" ", s).strip()
+
+    kept = []
+    for raw_t, raw_a in out:
+        t = norm(raw_t)
+        if len(t) >= min_chars and len(norm(raw_a)) * 3 < len(t):
+            kept.append(t)
+    main = "\n".join(kept)
+    return {
+        "n_blocks": len(out),
+        "n_kept": len(kept),
+        "main_chars": len(main),
+        "main_text": main,
+    }

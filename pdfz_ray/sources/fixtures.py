@@ -45,10 +45,13 @@ def ensure_fixtures(sf_dir: str) -> dict[str, str]:
         "golden_flat": os.path.join(d, "golden_flat.parquet"),
         "golden_text": os.path.join(d, "golden_text.parquet"),
         "golden_audio": os.path.join(d, "golden_audio.parquet"),
+        "html_docs": os.path.join(d, "html_docs.parquet"),
+        "golden_html": os.path.join(d, "golden_html.parquet"),
     }
-    # v4: adds golden_audio (pure-Python PCM feature reference); bumping
-    # regenerates stale caches
-    marker = os.path.join(d, "_DONE_v4")
+    # v6: adds the synthetic HTML corpus + its main-content golden
+    # (pure-Python regex-stack reference, incl. the extracted text);
+    # bumping regenerates stale caches
+    marker = os.path.join(d, "_DONE_v6")
     if os.path.exists(marker):
         return paths
     os.makedirs(d, exist_ok=True)
@@ -64,6 +67,7 @@ def ensure_fixtures(sf_dir: str) -> dict[str, str]:
     docs_pq = os.path.join(sf_dir, "documents.parquet")
     if os.path.exists(docs_pq):
         _write_text_goldens(docs_pq, paths["golden_text"])
+        _write_html_goldens(docs_pq, paths["html_docs"], paths["golden_html"])
     _write_audio_goldens(paths["media"], paths["golden_audio"])
     with open(marker, "w") as f:
         f.write("ok\n")
@@ -153,3 +157,35 @@ def _write_text_goldens(docs_pq: str, out_path: str) -> None:
         }
     )
     pq.write_table(golden, out_path)
+
+
+def _write_html_goldens(docs_pq: str, html_path: str, golden_path: str) -> None:
+    """Synthetic HTML pages over the driver documents table plus the
+    main-content golden computed by the REGEX-STACK reference
+    (``oracle.main_content_ref``) — the html.parser-based operator is
+    differentially checked against this file via oracle_sql()."""
+    import hashlib
+
+    from ..oracle import main_content_ref
+    from ..stages.html import make_html_corpus
+
+    docs = pq.read_table(docs_pq, columns=["doc_id", "text"])
+    pages = make_html_corpus(docs)
+    pq.write_table(pages, html_path)
+    refs = [main_content_ref(h) for h in pages.column("html").to_pylist()]
+    golden = pa.Table.from_pydict(
+        {
+            "doc_id": pages.column("doc_id"),
+            "n_blocks": pa.array([r["n_blocks"] for r in refs], pa.int64()),
+            "n_kept": pa.array([r["n_kept"] for r in refs], pa.int64()),
+            "main_chars": pa.array([r["main_chars"] for r in refs], pa.int64()),
+            "main_md5": pa.array(
+                [hashlib.md5(r["main_text"].encode()).hexdigest() for r in refs],
+                pa.string(),
+            ),
+            # the reference-extracted text itself: downstream composed
+            # queries (tokenize-over-main-content) oracle against it in SQL
+            "main_text": pa.array([r["main_text"] for r in refs], pa.string()),
+        }
+    )
+    pq.write_table(golden, golden_path)
