@@ -775,6 +775,14 @@ def _q_passage_stats(sf_dir: str):
     return passage_stats(_docs_table(sf_dir), n=5, min_docs=2)
 
 
+def _q_passage_dedup(sf_dir: str):
+    """Passage REMOVAL: excise all tokens covered by a >=2-doc common
+    5-token window and re-join survivors; fully-duplicated docs vanish."""
+    from pdfz_ray.functions.curation import passage_dedup_corpus
+
+    return passage_dedup_corpus(_docs_table(sf_dir), n=5, min_docs=2)
+
+
 def _q_mixture_plan(sf_dir: str):
     """Dataset-mixture application: integer-exact per-doc copy counts from
     source weights + a token budget (multi-epoch oversampling included)."""
@@ -845,6 +853,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_assign_grouped": _q_split_assign_grouped,
         # round-3 curation additions (new → inside the driver window)
         "passage_stats": _q_passage_stats,
+        "passage_dedup": _q_passage_dedup,
         "mixture_plan": _q_mixture_plan,
         "dedup_against": _q_dedup_against,
         "shuffle_rank": _q_shuffle_rank,
@@ -1572,6 +1581,42 @@ FROM media_ok
                    CAST(coalesce(sum(CASE WHEN p IN (SELECT p FROM common)
                                           THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dup_windows
             FROM wins GROUP BY doc_id
+        """,
+        # passage REMOVAL: tokens covered by any common window are excised,
+        # survivors re-join with single spaces; docs with zero survivors
+        # (fully duplicated or empty) emit no row on either side
+        "passage_dedup": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(coalesce(text, ''), '\S+') AS w
+              FROM documents
+            ),
+            wins AS (
+              SELECT doc_id, CAST(i AS BIGINT) AS i,
+                     array_to_string(w[CAST(i AS INT):CAST(i AS INT) + 4], ' ') AS p
+              FROM toks, unnest(range(1, len(w) - 5 + 2)) AS t(i)
+              WHERE len(w) >= 5
+            ),
+            dp AS (SELECT DISTINCT doc_id, p FROM wins),
+            common AS (SELECT p FROM dp GROUP BY p HAVING count(*) >= 2),
+            cov AS (
+              SELECT DISTINCT doc_id, CAST(j AS BIGINT) AS j
+              FROM wins, unnest(range(i, i + 5)) AS u(j)
+              WHERE p IN (SELECT p FROM common)
+            ),
+            tok_pos AS (
+              SELECT doc_id, CAST(t.i AS BIGINT) AS pos, w[CAST(t.i AS INT)] AS tok
+              FROM toks, unnest(range(1, len(w) + 1)) AS t(i)
+            ),
+            kept AS (
+              SELECT tp.doc_id, tp.pos, tp.tok
+              FROM tok_pos tp LEFT JOIN cov c
+                ON tp.doc_id = c.doc_id AND tp.pos = c.j
+              WHERE c.doc_id IS NULL
+            )
+            SELECT doc_id,
+                   string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+                   CAST(count(*) AS BIGINT) AS n_kept_tokens
+            FROM kept GROUP BY doc_id
         """,
         # generated from the SAME weight/budget constants as the Ray side
         "mixture_plan": _mixture_sql(),

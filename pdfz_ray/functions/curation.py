@@ -1021,6 +1021,48 @@ def _window_hashes(
     return acc[valid], parent[:w][valid]
 
 
+def _common_window_set(
+    ds: "ray.data.Dataset", n: int, min_docs: int
+) -> np.ndarray:
+    """Shared phase 1 of the passage family: per-doc-DISTINCT window-hash
+    partials (each doc lives in exactly one row, so batch partials sum to
+    exact distinct-doc counts) → a groupby bounded by DISTINCT passages →
+    the sorted uint64 set of hashes present in ≥ min_docs docs."""
+    from ray.data.aggregate import Sum
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        wh, parent = _window_hashes(batch.column("text"), n)
+        if len(wh) == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.int64())],
+                names=["whash", "cnt"],
+            )
+        pairs = np.unique(np.stack([parent.astype(np.uint64), wh], 1), axis=0)
+        uh, cnt = np.unique(pairs[:, 1], return_counts=True)
+        return pa.Table.from_arrays(
+            [pa.array(uh.view(np.int64)), pa.array(cnt.astype(np.int64))],
+            names=["whash", "cnt"],
+        )
+
+    common = (
+        ds.map_batches(distinct_partial, batch_format="pyarrow")
+        .groupby("whash")
+        .aggregate(Sum("cnt", alias_name="docs"))
+        .map_batches(
+            lambda t: t.filter(pc.greater_equal(t.column("docs"), min_docs)).select(
+                ["whash"]
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    return np.sort(
+        common["whash"].to_numpy().astype(np.int64).view(np.uint64)
+        if len(common)
+        else np.zeros(0, np.uint64)
+    )
+
+
 def passage_stats(
     ds: "ray.data.Dataset", n: int = 5, min_docs: int = 2
 ) -> "ray.data.Dataset":
@@ -1043,40 +1085,8 @@ def passage_stats(
     searchsorted membership count. Output: (doc_id, n_windows,
     n_dup_windows)."""
     import ray
-    from ray.data.aggregate import Sum
 
-    def distinct_partial(batch: pa.Table) -> pa.Table:
-        wh, parent = _window_hashes(batch.column("text"), n)
-        if len(wh) == 0:
-            return pa.Table.from_arrays(
-                [pa.array([], pa.int64()), pa.array([], pa.int64())],
-                names=["whash", "cnt"],
-            )
-        # distinct (doc, whash) inside the batch, then count docs per hash
-        pairs = np.unique(np.stack([parent.astype(np.uint64), wh], 1), axis=0)
-        uh, cnt = np.unique(pairs[:, 1], return_counts=True)
-        return pa.Table.from_arrays(
-            [pa.array(uh.view(np.int64)), pa.array(cnt.astype(np.int64))],
-            names=["whash", "cnt"],
-        )
-
-    df = (
-        ds.map_batches(distinct_partial, batch_format="pyarrow")
-        .groupby("whash")
-        .aggregate(Sum("cnt", alias_name="docs"))
-    )
-    common = df.map_batches(
-        lambda t: t.filter(pc.greater_equal(t.column("docs"), min_docs)).select(
-            ["whash"]
-        ),
-        batch_format="pyarrow",
-    ).to_pandas()
-    common_sorted = np.sort(
-        common["whash"].to_numpy().astype(np.int64).view(np.uint64)
-        if len(common)
-        else np.zeros(0, np.uint64)
-    )
-    ref = ray.put(common_sorted)
+    ref = ray.put(_common_window_set(ds, n, min_docs))
 
     def annotate(batch: pa.Table) -> pa.Table:
         cs = ray.get(ref)
@@ -1405,3 +1415,76 @@ def inference_buckets(ds: "ray.data.Dataset") -> "ray.data.Dataset":
             Sum("pad", alias_name="pad_tokens"),
         )
     )
+
+
+def passage_dedup_corpus(
+    ds: "ray.data.Dataset", n: int = 5, min_docs: int = 2
+) -> "ray.data.Dataset":
+    """Passage REMOVAL (the transform behind :func:`passage_stats` — Lee
+    et al. 2107.06499's dedup applied at word-window granularity): excise
+    from every document all tokens covered by any length-``n`` window
+    whose passage occurs in ≥ ``min_docs`` distinct docs, and re-join the
+    survivors with single spaces. Docs left with zero tokens (fully
+    duplicated, or empty) emit no row.
+
+    Same two scan phases as ``passage_stats`` (distinct-window partials →
+    passage-bounded groupby → broadcast survivors); the removal pass is
+    fully vectorized: hit windows paint a ±1 difference array over the
+    flat token stream (windows never cross doc boundaries), a cumsum
+    turns it into a coverage mask, and the kept tokens re-join per doc
+    through one Arrow list-join kernel. Output: (doc_id, clean_text,
+    n_kept_tokens)."""
+    import ray
+
+    ref = ray.put(_common_window_set(ds, n, min_docs))
+
+    def excise(batch: pa.Table) -> pa.Table:
+        cs = ray.get(ref)
+        empty = pa.Table.from_arrays(
+            [pa.array([], pa.int64()), pa.array([], pa.string()), pa.array([], pa.int64())],
+            names=["doc_id", "clean_text", "n_kept_tokens"],
+        )
+        if batch.num_rows == 0:
+            return empty
+        toks, parent = _doc_tokens(batch.column("text"))
+        L = len(toks)
+        if L == 0:
+            return empty
+        from .text import POLY_BASE, poly64_array
+
+        th = poly64_array(toks)
+        covered = np.zeros(L + 1, np.int64)
+        w = L - n + 1
+        if w > 0 and len(cs):
+            b = np.uint64(POLY_BASE)
+            acc = th[:w].copy()
+            for k in range(1, n):
+                acc *= b
+                acc += th[k : w + k]
+            valid = parent[:w] == parent[n - 1 :]
+            pos = np.searchsorted(cs, acc)
+            hit = valid & (pos < len(cs)) & (cs[np.minimum(pos, len(cs) - 1)] == acc)
+            starts = np.nonzero(hit)[0]
+            # ±1 difference array → cumsum = per-token cover depth (hit
+            # windows never straddle docs, so ranges stay in-doc)
+            np.add.at(covered, starts, 1)
+            np.add.at(covered, starts + n, -1)
+        keep = np.cumsum(covered[:L]) == 0
+        kept_counts = np.bincount(parent[keep], minlength=batch.num_rows)
+        offsets = np.zeros(batch.num_rows + 1, np.int64)
+        np.cumsum(kept_counts, out=offsets[1:])
+        kept_flat = toks.filter(pa.array(keep))
+        lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), kept_flat)
+        joined = pc.binary_join(lists, " ")
+        nonempty = kept_counts > 0
+        idx = pa.array(np.nonzero(nonempty)[0])
+        return pa.Table.from_arrays(
+            [
+                batch.column("doc_id").take(idx),
+                joined.take(idx),
+                pa.array(kept_counts[nonempty].astype(np.int64)),
+            ],
+            names=["doc_id", "clean_text", "n_kept_tokens"],
+        )
+
+    return ds.map_batches(excise, batch_format="pyarrow")

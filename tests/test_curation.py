@@ -661,3 +661,36 @@ def test_inference_buckets_pow2_and_padding(ray_session):
     assert rows[8]["n_docs"] == 1 and rows[8]["pad_tokens"] == 3
     assert rows[16]["n_docs"] == 2 and rows[16]["pad_tokens"] == 7
     assert rows[32]["n_docs"] == 1 and rows[32]["pad_tokens"] == 15
+
+
+def test_passage_dedup_corpus_excises_common_windows(ray_session):
+    import ray.data
+
+    from pdfz_ray.functions.curation import passage_dedup_corpus
+
+    shared = "the quick brown fox jumps over the lazy dog tonight"  # 10 toks
+    texts = [
+        shared,                                      # fully covered → no row
+        "unique lead in words " + shared + " unique tail words here",
+        "totally unrelated content with enough tokens to form many windows",
+        "tiny doc",                                  # < 5 tokens → kept whole
+        shared,                                      # dup of doc 0 → no row
+        "",                                          # empty → no row
+    ]
+    ds = ray.data.from_arrow(
+        pa.Table.from_arrays(
+            [pa.array(range(len(texts)), pa.int64()), pa.array(texts)],
+            names=["doc_id", "text"],
+        )
+    )
+    got = {
+        int(r["doc_id"]): (r["clean_text"], int(r["n_kept_tokens"]))
+        for r in passage_dedup_corpus(ds, n=5, min_docs=2).take_all()
+    }
+    assert set(got) == {1, 2, 3}
+    # doc 1: the shared sentence is excised, surrounding uniques survive
+    assert got[1][0] == "unique lead in words unique tail words here"
+    assert got[1][1] == 8
+    # untouched docs come back token-joined but complete
+    assert got[2][1] == len(texts[2].split())
+    assert got[3] == ("tiny doc", 2)
