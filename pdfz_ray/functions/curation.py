@@ -1026,36 +1026,62 @@ def _common_window_set(
 ) -> np.ndarray:
     """Shared phase 1 of the passage family: per-doc-DISTINCT window-hash
     partials (each doc lives in exactly one row, so batch partials sum to
-    exact distinct-doc counts) → a groupby bounded by DISTINCT passages →
-    the sorted uint64 set of hashes present in ≥ min_docs docs."""
-    from ray.data.aggregate import Sum
+    exact distinct-doc counts) → a bucketed exchange bounded by DISTINCT
+    passages → the sorted uint64 set of hashes present in ≥ min_docs
+    docs.
+
+    The exchange is NOT a per-hash groupby: sorting tens of millions of
+    partial rows by a 238k-value key took 240 s at the 1M-doc stress
+    tier. Instead partials carry a 6-bit hash-prefix bucket (64 groups —
+    raise the shift for more), the sort key is that tiny bucket, and a
+    vectorized np.unique/bincount merge runs per bucket; with Ray's
+    push-based shuffle enabled for this one exchange the same tier runs
+    in 15 s (16×; measured, see BASELINE.md). Only hashes that clear
+    min_docs leave the merge, so the driver collect is common-set-sized."""
+    from ray.data import DataContext
 
     def distinct_partial(batch: pa.Table) -> pa.Table:
         wh, parent = _window_hashes(batch.column("text"), n)
         if len(wh) == 0:
             return pa.Table.from_arrays(
-                [pa.array([], pa.int64()), pa.array([], pa.int64())],
-                names=["whash", "cnt"],
+                [
+                    pa.array([], pa.int8()),
+                    pa.array([], pa.int64()),
+                    pa.array([], pa.int32()),
+                ],
+                names=["bucket", "whash", "cnt"],
             )
         pairs = np.unique(np.stack([parent.astype(np.uint64), wh], 1), axis=0)
         uh, cnt = np.unique(pairs[:, 1], return_counts=True)
         return pa.Table.from_arrays(
-            [pa.array(uh.view(np.int64)), pa.array(cnt.astype(np.int64))],
-            names=["whash", "cnt"],
+            [
+                pa.array((uh >> np.uint64(58)).astype(np.int8)),
+                pa.array(uh.view(np.int64)),
+                pa.array(cnt.astype(np.int32)),
+            ],
+            names=["bucket", "whash", "cnt"],
         )
 
-    common = (
-        ds.map_batches(distinct_partial, batch_format="pyarrow")
-        .groupby("whash")
-        .aggregate(Sum("cnt", alias_name="docs"))
-        .map_batches(
-            lambda t: t.filter(pc.greater_equal(t.column("docs"), min_docs)).select(
-                ["whash"]
-            ),
-            batch_format="pyarrow",
+    def merge(group: pa.Table) -> pa.Table:
+        h = group.column("whash").to_numpy()
+        c = group.column("cnt").to_numpy()
+        uh, inv = np.unique(h, return_inverse=True)
+        docs = np.bincount(inv, weights=c)
+        keep = docs >= min_docs
+        return pa.Table.from_arrays([pa.array(uh[keep])], names=["whash"])
+
+    ctx = DataContext.get_current()
+    prev = ctx.use_push_based_shuffle
+    ctx.use_push_based_shuffle = True
+    try:
+        common = (
+            ds.map_batches(distinct_partial, batch_format="pyarrow", batch_size=None)
+            .groupby("bucket")
+            .map_groups(merge, batch_format="pyarrow")
+            .to_pandas()
         )
-        .to_pandas()
-    )
+    finally:
+        ctx.use_push_based_shuffle = prev
     return np.sort(
         common["whash"].to_numpy().astype(np.int64).view(np.uint64)
         if len(common)

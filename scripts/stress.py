@@ -241,5 +241,80 @@ def rarity():
     )
 
 
+def round3():
+    """Round-3 operator tier: the passage family on the 1M-doc 200-deep
+    dup corpus (adversarial: EVERY window is common, the broadcast set is
+    the full distinct-window inventory of the base corpus and the removal
+    pass excises nearly all tokens), the global shuffle rank at 10M rows,
+    and the HTML main-content stage over a 200k-page corpus."""
+    ray = init_ray()
+    import ray.data as rd
+
+    from pdfz_ray.functions.curation import (
+        passage_dedup_corpus,
+        passage_stats,
+        shuffle_rank,
+    )
+    from pdfz_ray.stages.html import main_content_batch, make_html_corpus
+
+    d = replicate_documents(200, "docs-1m", n_parts=32, preserve_modulus=23)
+
+    def docs():
+        return rd.read_parquet(d, columns=["doc_id", "text"])
+
+    t: dict[str, float] = {}
+    out: dict[str, int] = {}
+    out["passage_stats"] = timed(
+        t, "passage_stats_1m", lambda: passage_stats(docs()).count()
+    )
+    out["passage_dedup_survivors"] = timed(
+        t, "passage_dedup_1m", lambda: passage_dedup_corpus(docs()).count()
+    )
+    out["shuffle_rank"] = timed(
+        t,
+        "shuffle_rank_10m",
+        lambda: shuffle_rank(
+            rd.range(10_000_000).map_batches(
+                lambda b: pa.Table.from_arrays([b.column("id")], names=["doc_id"]),
+                batch_format="pyarrow",
+            ),
+            bucket_hex_digits=3,
+        ).count(),
+    )
+
+    # 200k-page HTML corpus: generate once from the sf0.1 documents table,
+    # replicate 4x with distinct ids
+    hd = os.path.join(STRESS_ROOT, "html-200k")
+    marker = os.path.join(hd, "_DONE")
+    if not os.path.exists(marker):
+        os.makedirs(hd, exist_ok=True)
+        base = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+        pages = make_html_corpus(base)
+        n = base.num_rows
+        for k in range(4):
+            pq.write_table(
+                pages.set_column(
+                    0, "doc_id", pc.add(pages.column("doc_id"), k * n)
+                ),
+                os.path.join(hd, f"part-{k:02d}.parquet"),
+            )
+        with open(marker, "w") as f:
+            f.write("ok\n")
+    out["html_pages"] = timed(
+        t,
+        "html_main_content_200k",
+        lambda: rd.read_parquet(hd)
+        .map_batches(main_content_batch, batch_format="pyarrow")
+        .count(),
+    )
+    ray.shutdown()
+    print(json.dumps({"stress": "round3", "timings": t, "outputs": out}))
+
+
 if __name__ == "__main__":
-    {"neardup": neardup, "curation1m": curation1m, "rarity": rarity}[sys.argv[1]]()
+    {
+        "neardup": neardup,
+        "curation1m": curation1m,
+        "rarity": rarity,
+        "round3": round3,
+    }[sys.argv[1]]()
