@@ -344,6 +344,13 @@ def run_scaling(sf_dir: str, n_docs: int, replicas: int, lo: int = 8, hi: int = 
         "pages_per_sec_hi_trials": spread_hi,
         "total_sec_lo": r_lo["value"],
         "total_sec_hi": r_hi["value"],
+        # single-core calibration burns from each leg's subprocess: ~0.25 s
+        # is a healthy host; 0.35+ marks a stolen-CPU window, which hits
+        # the hi leg disproportionately (no spare cores absorb the steal)
+        # and depresses measured efficiency — compare legs' burns before
+        # trusting a low efficiency number
+        "calibration_burn_sec_lo": r_lo.get("calibration_burn_sec", []),
+        "calibration_burn_sec_hi": r_hi.get("calibration_burn_sec", []),
         "scaling_efficiency": round(eff, 3),
     }
 
