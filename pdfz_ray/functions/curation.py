@@ -1206,27 +1206,37 @@ def mixture_plan(
         gs = (budget * int(weights.get(s, sum_w_default))) // max(sum_w, 1)
         plan[s] = (gs // ts, gs % ts, ts)
 
+    # broadcast the plan as parallel arrays: per-row work below is one
+    # index_in + three gathers (the per-doc md5 stays — it IS the
+    # DuckDB-equality bucket)
+    plan_srcs = pa.array(sorted(plan), pa.string())
+    _pq = np.array([plan[s][0] for s in sorted(plan)], np.int64)
+    _pr = np.array([plan[s][1] for s in sorted(plan)], np.int64)
+    _pt = np.array([plan[s][2] for s in sorted(plan)], np.int64)
+
     def assign(batch: pa.Table) -> pa.Table:
+        if len(plan_srcs) == 0:  # every source had zero tokens
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.string()), pa.array([], pa.int64())],
+                names=["doc_id", "source", "n_copies"],
+            )
         texts = batch.column("text").to_pylist()
-        sources = batch.column("source").to_pylist()
         buckets = np.array(
             [int(hashlib.md5((t or "").encode()).hexdigest()[:4], 16) for t in texts],
             np.int64,
         )
-        copies = np.zeros(len(sources), np.int64)
-        known = np.zeros(len(sources), bool)
-        for i, s in enumerate(sources):
-            p = plan.get(s)
-            if p is None:
-                continue
-            q, r, ts = p
-            known[i] = True
-            copies[i] = q + (1 if buckets[i] * ts < r * 65536 else 0)
+        idx_arr = pc.index_in(batch.column("source"), value_set=plan_srcs)
+        known = pc.is_valid(idx_arr).to_numpy(zero_copy_only=False)
+        idx = (
+            pc.fill_null(idx_arr, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        copies = _pq[idx] + (buckets * _pt[idx] < _pr[idx] * 65536)
+        sel = pa.array(known)
         return pa.Table.from_arrays(
             [
-                batch.column("doc_id").filter(pa.array(known)),
-                batch.column("source").filter(pa.array(known)),
-                pa.array(copies[known]),
+                batch.column("doc_id").filter(sel),
+                batch.column("source").filter(sel),
+                pa.array(copies[known].astype(np.int64)),
             ],
             names=["doc_id", "source", "n_copies"],
         )
