@@ -694,3 +694,64 @@ def test_passage_dedup_corpus_excises_common_windows(ray_session):
     # untouched docs come back token-joined but complete
     assert got[2][1] == len(texts[2].split())
     assert got[3] == ("tiny doc", 2)
+
+
+def test_query_window_holds_round3_entries():
+    """Regression guard for the correctness driver's 50-entry window: every
+    round-3 operator (and the two scale-path variants promoted this round)
+    must sit INSIDE the first 50 queries() entries."""
+    import __ray_entry__ as e
+
+    keys = list(e.queries())
+    window = set(keys[:50])
+    for name in [
+        "html_main_content",
+        "html_extract_tokens",
+        "passage_stats",
+        "passage_dedup",
+        "mixture_plan",
+        "dedup_against",
+        "shuffle_rank",
+        "inference_buckets",
+        "knn_ivf",
+        "doc_rarity_capped",
+    ]:
+        assert name in window, f"{name} fell out of the driver window"
+
+
+def test_common_window_set_restores_shuffle_flag(ray_session):
+    import ray.data
+    from ray.data import DataContext
+
+    from pdfz_ray.functions.curation import _common_window_set
+
+    ctx = DataContext.get_current()
+    before = ctx.use_push_based_shuffle
+    ds = ray.data.from_arrow(
+        pa.Table.from_arrays(
+            [pa.array([1, 2], pa.int64()), pa.array(["a b c d e f", "a b c d e f"])],
+            names=["doc_id", "text"],
+        )
+    )
+    cs = _common_window_set(ds, 5, 2)
+    assert len(cs) == 2  # two distinct 5-windows, both in 2 docs
+    assert ctx.use_push_based_shuffle == before
+
+
+def test_dedup_against_without_reference_rows(ray_session):
+    import ray.data
+
+    from pdfz_ray.functions.curation import dedup_against
+
+    ds = ray.data.from_arrow(
+        pa.Table.from_arrays(
+            [
+                pa.array([1, 2], pa.int64()),
+                pa.array(["x", "y"]),
+                pa.array(["web", "web"]),
+            ],
+            names=["doc_id", "text", "source"],
+        )
+    )
+    out = dedup_against(ds, ref_source="src0").take_all()
+    assert sorted(int(r["doc_id"]) for r in out) == [1, 2]
