@@ -810,6 +810,18 @@ def _q_shuffle_rank(sf_dir: str):
     return shuffle_rank(ds)
 
 
+def _q_quality_gate_by_lang(sf_dir: str):
+    """Language-balanced stratified quantile gate (per-lang exact P25)."""
+    import ray.data
+
+    from pdfz_ray.functions.curation import quality_gate_quantile_by_lang
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    return quality_gate_quantile_by_lang(ds, pct=25)
+
+
 def _q_inference_buckets(sf_dir: str):
     """Power-of-two length-bucket stats incl. padding waste — the batcher
     planner's view of the corpus."""
@@ -858,6 +870,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_against": _q_dedup_against,
         "shuffle_rank": _q_shuffle_rank,
         "inference_buckets": _q_inference_buckets,
+        "quality_gate_by_lang": _q_quality_gate_by_lang,
         # round-3 scale-path variants (new → inside the driver window)
         "knn_ivf": _q_knn_ivf,
         "doc_rarity_capped": _q_doc_rarity_capped,
@@ -885,11 +898,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_event_counts": _q_running_event_counts,
         "distinct_users_by_type": _q_distinct_users,
         "seen_probe": _q_seen_probe,
-        "top_users_by_type": _q_top_users,
-        "asof_join": _q_asof_join,
         # ---- driver window boundary (entries below were driver-green in
         # CORRECTNESS_r02 — or rows-only by design — and unchanged since;
-        # pytest + scripts/check_queries.py still cover them) ----
+        # pytest + scripts/check_queries.py still cover them; the
+        # window-guard test pins every round-3 entry above this line) ----
+        "top_users_by_type": _q_top_users,
+        "asof_join": _q_asof_join,
         "sliding_event_counts": _q_sliding_counts,
         "orders_price_bands": _q_price_bands,
         "approx_distinct_users": _q_approx_distinct_users,
@@ -1652,6 +1666,26 @@ FROM media_ok
                    CAST(sum(nt) AS BIGINT) AS sum_tokens,
                    CAST(sum(bucket - nt) AS BIGINT) AS pad_tokens
             FROM bb GROUP BY bucket
+        """,
+        # per-language exact P25: each doc clears ITS language's threshold
+        "quality_gate_by_lang": r"""
+            WITH t AS (
+              SELECT doc_id, lang,
+                     CAST(len(regexp_extract_all(coalesce(text, ''), '\S+')) AS BIGINT) AS n_tokens
+              FROM documents
+            ),
+            h AS (SELECT lang, n_tokens AS v, count(*) AS c FROM t GROUP BY 1, 2),
+            cum AS (
+              SELECT lang, v, sum(c) OVER (PARTITION BY lang ORDER BY v) AS cum,
+                     sum(c) OVER (PARTITION BY lang) AS total
+              FROM h
+            ),
+            thresh AS (
+              SELECT lang, min(v) AS p FROM cum
+              WHERE cum >= CAST(ceil(total * 25 / 100.0) AS BIGINT) GROUP BY lang
+            )
+            SELECT t.doc_id, t.lang, t.n_tokens
+            FROM t JOIN thresh USING (lang) WHERE t.n_tokens >= thresh.p
         """,
         # exact P25 threshold: smallest token count whose cumulative doc
         # count reaches ceil(25% of docs) — same walk as the Ray histogram

@@ -653,6 +653,69 @@ def quality_gate_quantile(
     return narrow.map_batches(gate, batch_format="pyarrow")
 
 
+def quality_gate_quantile_by_lang(
+    ds: "ray.data.Dataset", pct: int = 25
+) -> "ray.data.Dataset":
+    """Language-BALANCED corpus-relative quality gate: each document must
+    clear the exact ``pct``-th token-count percentile OF ITS OWN language
+    — the stratified variant a multilingual pretraining mix needs (a
+    global threshold would gut low-resource languages whose docs run
+    short). Per-group exact quantiles via the same value-count
+    compaction, keyed by (lang, n_tokens): the shuffle is bounded by
+    languages × distinct token counts, the driver walks one tiny
+    histogram per language, and the per-lang thresholds broadcast into
+    one vectorized gate pass. Output: (doc_id, lang, n_tokens) of the
+    survivors."""
+
+    def tokens(batch: pa.Table) -> pa.Table:
+        n = pc.cast(
+            pc.count_substring_regex(pc.fill_null(batch.column("text"), ""), r"\S+"),
+            pa.int64(),
+        )
+        return pa.Table.from_arrays(
+            [batch.column("doc_id"), batch.column("lang"), n],
+            names=["doc_id", "lang", "n_tokens"],
+        )
+
+    narrow = ds.map_batches(tokens, batch_format="pyarrow").materialize()
+
+    def value_counts(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.select(["lang", "n_tokens"])
+            .group_by(["lang", "n_tokens"])
+            .aggregate([("n_tokens", "count")])
+        )
+        return g.rename_columns(["lang", "v", "c"])
+
+    from ray.data.aggregate import Sum
+
+    hist = (
+        narrow.map_batches(value_counts, batch_format="pyarrow")
+        .groupby(["lang", "v"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    thresholds: dict[str, int] = {}
+    for lang, sub in hist.groupby("lang"):
+        sub = sub.sort_values("v")
+        cum = sub["c"].cumsum().to_numpy()
+        total = int(cum[-1])
+        target = -(-pct * total // 100)
+        thresholds[str(lang)] = int(sub["v"].iloc[int(np.searchsorted(cum, target))])
+    langs = pa.array(sorted(thresholds), pa.string())
+    thr = np.array([thresholds[s] for s in sorted(thresholds)], np.int64)
+
+    def gate(batch: pa.Table) -> pa.Table:
+        idx = pc.index_in(batch.column("lang"), value_set=langs)
+        i = pc.fill_null(idx, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+        ok = pc.is_valid(idx).to_numpy(zero_copy_only=False) & (
+            batch.column("n_tokens").to_numpy() >= thr[i]
+        ) if len(thr) else np.zeros(batch.num_rows, bool)
+        return batch.filter(pa.array(ok))
+
+    return narrow.map_batches(gate, batch_format="pyarrow")
+
+
 def curation_narrow_batch(
     batch: pa.Table, bench_ref=None, n: int = 5
 ) -> pa.Table:

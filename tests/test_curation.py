@@ -713,6 +713,7 @@ def test_query_window_holds_round3_entries():
         "dedup_against",
         "shuffle_rank",
         "inference_buckets",
+        "quality_gate_by_lang",
         "knn_ivf",
         "doc_rarity_capped",
     ]:
@@ -755,3 +756,29 @@ def test_dedup_against_without_reference_rows(ray_session):
     )
     out = dedup_against(ds, ref_source="src0").take_all()
     assert sorted(int(r["doc_id"]) for r in out) == [1, 2]
+
+
+def test_quality_gate_by_lang_per_group_thresholds(ray_session):
+    """Each language gets its OWN P25: a short-doc language keeps its best
+    docs even when a long-doc language would have gated them all out."""
+    import ray.data
+
+    from pdfz_ray.functions.curation import quality_gate_quantile_by_lang
+
+    rows = []
+    # lang "lo": 4 docs of 2,3,4,5 tokens → P50 threshold 3 (keep 3,4,5)
+    for i, k in enumerate([2, 3, 4, 5]):
+        rows.append({"doc_id": i, "text": " ".join(["w"] * k), "lang": "lo"})
+    # lang "hi": 4 docs of 100..400 tokens → P50 threshold 200 (keep 3)
+    for i, k in enumerate([100, 200, 300, 400]):
+        rows.append({"doc_id": 10 + i, "text": " ".join(["w"] * k), "lang": "hi"})
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    out = quality_gate_quantile_by_lang(ds, pct=50).take_all()
+    kept = {int(r["doc_id"]) for r in out}
+    assert kept == {1, 2, 3, 11, 12, 13}
+    # a GLOBAL P50 (threshold 5 over the combined histogram) would have
+    # dropped every "lo" doc but one — per-lang gating keeps its best 3
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(int(r["n_tokens"]))
+    assert sorted(by_lang["lo"]) == [3, 4, 5]
