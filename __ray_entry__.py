@@ -791,6 +791,13 @@ def _q_mixture_plan(sf_dir: str):
     return mixture_plan(_docs_with_source(sf_dir))
 
 
+def _q_mixture_materialize(sf_dir: str):
+    """Mixture application: plan copy counts → replicated epoch rows."""
+    from pdfz_ray.functions.curation import mixture_materialize
+
+    return mixture_materialize(_docs_with_source(sf_dir))
+
+
 def _q_dedup_against(sf_dir: str):
     """Cross-corpus exact dedup: drop corpus docs whose 64-bit content
     fingerprint appears in the reference slice (source='src0')."""
@@ -867,6 +874,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "passage_stats": _q_passage_stats,
         "passage_dedup": _q_passage_dedup,
         "mixture_plan": _q_mixture_plan,
+        "mixture_materialize": _q_mixture_materialize,
         "dedup_against": _q_dedup_against,
         "shuffle_rank": _q_shuffle_rank,
         "inference_buckets": _q_inference_buckets,
@@ -897,11 +905,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_bucketed": _q_sessionize_bucketed,
         "running_event_counts": _q_running_event_counts,
         "distinct_users_by_type": _q_distinct_users,
-        "seen_probe": _q_seen_probe,
         # ---- driver window boundary (entries below were driver-green in
         # CORRECTNESS_r02 — or rows-only by design — and unchanged since;
         # pytest + scripts/check_queries.py still cover them; the
         # window-guard test pins every round-3 entry above this line) ----
+        "seen_probe": _q_seen_probe,
         "top_users_by_type": _q_top_users,
         "asof_join": _q_asof_join,
         "sliding_event_counts": _q_sliding_counts,
@@ -1634,6 +1642,12 @@ FROM media_ok
         """,
         # generated from the SAME weight/budget constants as the Ray side
         "mixture_plan": _mixture_sql(),
+        # plan → replicated epoch rows (generate_series per copy)
+        "mixture_materialize": f"""
+            WITH plan AS ({_mixture_sql()})
+            SELECT doc_id, source, CAST(i AS BIGINT) AS copy_idx
+            FROM plan, unnest(range(0, n_copies)) AS t(i)
+        """,
         # cross-corpus exact dedup on the identical 64-bit md5 prefix
         "dedup_against": r"""
             SELECT doc_id, source FROM documents

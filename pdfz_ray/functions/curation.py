@@ -1307,6 +1307,37 @@ def mixture_plan(
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
+def mixture_materialize(
+    ds: "ray.data.Dataset",
+    weights: dict[str, int] | None = None,
+    budget: int = MIXTURE_BUDGET,
+) -> "ray.data.Dataset":
+    """Apply the mixture plan: replicate every doc ``n_copies`` times with
+    an explicit epoch index (copy_idx 0..n_copies-1) — the rows a shard
+    writer actually packs. Pure per-batch np.repeat over the plan output;
+    no shuffle beyond :func:`mixture_plan`'s sources-sized partial.
+    Output: (doc_id, source, copy_idx)."""
+    plan = mixture_plan(ds, weights=weights, budget=budget)
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_copies").to_numpy()
+        idx = np.repeat(np.arange(len(n)), n)
+        # copy_idx = position within each doc's run of repeats
+        starts = np.concatenate(([0], np.cumsum(n)[:-1]))
+        copy_idx = np.arange(int(n.sum())) - np.repeat(starts, n)
+        sel = pa.array(idx)
+        return pa.Table.from_arrays(
+            [
+                batch.column("doc_id").take(sel),
+                batch.column("source").take(sel),
+                pa.array(copy_idx.astype(np.int64)),
+            ],
+            names=["doc_id", "source", "copy_idx"],
+        )
+
+    return plan.map_batches(replicate, batch_format="pyarrow")
+
+
 def mixture_sql(
     weights: dict[str, int] | None = None, budget: int = MIXTURE_BUDGET
 ) -> str:

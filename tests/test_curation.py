@@ -710,6 +710,7 @@ def test_query_window_holds_round3_entries():
         "passage_stats",
         "passage_dedup",
         "mixture_plan",
+        "mixture_materialize",
         "dedup_against",
         "shuffle_rank",
         "inference_buckets",
@@ -782,3 +783,36 @@ def test_quality_gate_by_lang_per_group_thresholds(ray_session):
     for r in out:
         by_lang.setdefault(r["lang"], []).append(int(r["n_tokens"]))
     assert sorted(by_lang["lo"]) == [3, 4, 5]
+
+
+def test_mixture_materialize_replicates_epochs(ray_session):
+    import ray.data
+
+    from pdfz_ray.functions.curation import mixture_materialize, mixture_plan
+
+    n = 60
+    texts = [" ".join(["w"] * 10) + f" unique{i}" for i in range(n)]
+    srcs = ["boost" if i % 2 == 0 else "base" for i in range(n)]
+    tbl = pa.Table.from_arrays(
+        [pa.array(range(n), pa.int64()), pa.array(texts), pa.array(srcs)],
+        names=["doc_id", "text", "source"],
+    )
+    ds = ray.data.from_arrow(tbl)
+    weights, budget = {"boost": 9, "base": 1}, 4000
+    plan = {
+        int(r["doc_id"]): int(r["n_copies"])
+        for r in mixture_plan(ds, weights=weights, budget=budget).take_all()
+    }
+    rows = mixture_materialize(ds, weights=weights, budget=budget).take_all()
+    seen: dict[int, list[int]] = {}
+    for r in rows:
+        seen.setdefault(int(r["doc_id"]), []).append(int(r["copy_idx"]))
+    # every doc appears exactly n_copies times with copy_idx 0..n-1
+    assert {d: len(v) for d, v in seen.items()} == {
+        d: c for d, c in plan.items() if c > 0
+    }
+    for d, v in seen.items():
+        assert sorted(v) == list(range(len(v)))
+    # the boosted source multi-epochs: its docs replicate >= 2x
+    boosted = [plan[d] for d in plan if d % 2 == 0]
+    assert min(boosted) >= 2
