@@ -520,6 +520,21 @@ def _q_audio_energy(sf_dir: str):
     )
 
 
+def _q_image_resize(sf_dir: str):
+    """Nearest-neighbor thumbnail resize over raw pixel buffers (exact —
+    no codec); compressed codecs report unsupported. Checked against the
+    pure-Python pixel-loop golden."""
+    import ray.data
+
+    from pdfz_ray.sources.fixtures import ensure_fixtures
+    from pdfz_ray.stages.media import ImageResizeStage
+
+    paths = ensure_fixtures(sf_dir)
+    return ray.data.read_parquet(paths["media"]).map_batches(
+        ImageResizeStage, batch_format="pyarrow", concurrency=(1, 2)
+    )
+
+
 def _q_html_main_content(sf_dir: str):
     """HTML boilerplate strip / main-content extraction (DOM heuristics)
     over the synthetic HTML corpus; checked against the independent
@@ -859,6 +874,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # extraction surface; golden-fixture oracle, independent reference)
         "html_main_content": _q_html_main_content,
         "html_extract_tokens": _q_html_extract_tokens,
+        "image_resize": _q_image_resize,
         # corpus curation
         "decontaminate": _q_decontaminate,
         "pii_redact": _q_pii_redact,
@@ -903,12 +919,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # stream-shaped windows / distinct (events table)
         "sessionize": _q_sessionize,
         "sessionize_bucketed": _q_sessionize_bucketed,
-        "running_event_counts": _q_running_event_counts,
-        "distinct_users_by_type": _q_distinct_users,
         # ---- driver window boundary (entries below were driver-green in
         # CORRECTNESS_r02 — or rows-only by design — and unchanged since;
         # pytest + scripts/check_queries.py still cover them; the
         # window-guard test pins every round-3 entry above this line) ----
+        "running_event_counts": _q_running_event_counts,
+        "distinct_users_by_type": _q_distinct_users,
         "seen_probe": _q_seen_probe,
         "top_users_by_type": _q_top_users,
         "asof_join": _q_asof_join,
@@ -1411,6 +1427,11 @@ FROM media_ok
         "audio_energy": f"""
             SELECT media_ref, n_samples, n_windows, energy, peak
             FROM read_parquet('{FIX}/golden_audio.parquet')
+        """,
+        # vectorized NN-resize gather vs the pure-Python pixel-loop golden
+        "image_resize": f"""
+            SELECT media_ref, ok, out_width, out_height, out_md5, error
+            FROM read_parquet('{FIX}/golden_resize.parquet')
         """,
         # html.parser main-content stage vs the independent regex-stack
         # reference (pdfz_ray/oracle.py main_content_ref) — same block

@@ -47,11 +47,11 @@ def ensure_fixtures(sf_dir: str) -> dict[str, str]:
         "golden_audio": os.path.join(d, "golden_audio.parquet"),
         "html_docs": os.path.join(d, "html_docs.parquet"),
         "golden_html": os.path.join(d, "golden_html.parquet"),
+        "golden_resize": os.path.join(d, "golden_resize.parquet"),
     }
-    # v6: adds the synthetic HTML corpus + its main-content golden
-    # (pure-Python regex-stack reference, incl. the extracted text);
-    # bumping regenerates stale caches
-    marker = os.path.join(d, "_DONE_v6")
+    # v7: adds the nearest-neighbor resize golden (pure-Python pixel-loop
+    # reference); bumping regenerates stale caches
+    marker = os.path.join(d, "_DONE_v7")
     if os.path.exists(marker):
         return paths
     os.makedirs(d, exist_ok=True)
@@ -69,6 +69,7 @@ def ensure_fixtures(sf_dir: str) -> dict[str, str]:
         _write_text_goldens(docs_pq, paths["golden_text"])
         _write_html_goldens(docs_pq, paths["html_docs"], paths["golden_html"])
     _write_audio_goldens(paths["media"], paths["golden_audio"])
+    _write_resize_goldens(paths["media"], paths["golden_resize"])
     with open(marker, "w") as f:
         f.write("ok\n")
     return paths
@@ -189,3 +190,49 @@ def _write_html_goldens(docs_pq: str, html_path: str, golden_path: str) -> None:
         }
     )
     pq.write_table(golden, golden_path)
+
+
+def _write_resize_goldens(
+    media_pq: str, out_path: str, tw: int = 16, th: int = 16
+) -> None:
+    """Nearest-neighbor resize reference computed with nested pure-Python
+    pixel loops (independent of the vectorized gather in
+    ``media.ImageResizeStage``). Raw codecs only; compressed codecs emit
+    the unsupported row the stage must reproduce."""
+    import hashlib
+
+    t = pq.read_table(media_pq)
+    rows = []
+    for ref, payload, w, h, codec in zip(
+        t.column("media_ref").to_pylist(),
+        t.column("payload").to_pylist(),
+        t.column("width").to_pylist(),
+        t.column("height").to_pylist(),
+        t.column("codec").to_pylist(),
+    ):
+        ch = 3 if codec == "raw-rgb" else (1 if codec == "raw-gray" else 0)
+        buf = payload or b""
+        if ch == 0:
+            rows.append(
+                {"media_ref": ref, "ok": False, "out_width": 0, "out_height": 0,
+                 "out_md5": "", "error": "Unsupported filter/color space"}
+            )
+            continue
+        if w <= 0 or h <= 0 or len(buf) != w * h * ch:
+            rows.append(
+                {"media_ref": ref, "ok": False, "out_width": 0, "out_height": 0,
+                 "out_md5": "", "error": "size mismatch"}
+            )
+            continue
+        out = bytearray()
+        for y in range(th):
+            sy = (y * h) // th
+            for x in range(tw):
+                sx = (x * w) // tw
+                base = (sy * w + sx) * ch
+                out += buf[base : base + ch]
+        rows.append(
+            {"media_ref": ref, "ok": True, "out_width": tw, "out_height": th,
+             "out_md5": hashlib.md5(bytes(out)).hexdigest(), "error": ""}
+        )
+    pq.write_table(pa.Table.from_pylist(rows), out_path)

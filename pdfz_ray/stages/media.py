@@ -243,3 +243,81 @@ def decode_real_to_png(payload: bytes, rotate90: bool = False) -> tuple:
     buf = io.BytesIO()
     img.save(buf, format="PNG")
     return buf.getvalue(), img.width, img.height
+
+
+class ImageResizeStage:
+    """Nearest-neighbor resize over RAW pixel buffers (``raw-rgb`` /
+    ``raw-gray``) — the thumbnail/normalize step of a multimodal training
+    pipeline, EXACT (no codec needed): output pixel (x, y) copies source
+    pixel (x·w//tw, y·h//th), the standard floor-mapping NN. Compressed
+    codecs (dct/flate/jbig2) report unsupported — in production they chain
+    behind ``MediaDecodeStage``'s real decoder (same skip-not-fatal policy
+    as the reference's filter dispatch, extractor/src/engine/mod.rs:
+    138-211).
+
+    Vectorized: one ``np.frombuffer`` view + a fancy-index gather per
+    image; per-actor state holds the (tw, th) index maps cache keyed by
+    source dims. Output: ``media_ref, ok, out_width, out_height,
+    out_md5, error`` (md5 of the resized buffer is the golden-equality
+    witness)."""
+
+    def __init__(self, target_w: int = 16, target_h: int = 16):
+        self._tw = int(target_w)
+        self._th = int(target_h)
+        self._maps: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+
+    def _index_map(self, w: int, h: int) -> tuple[np.ndarray, np.ndarray]:
+        key = (w, h)
+        m = self._maps.get(key)
+        if m is None:
+            xs = (np.arange(self._tw, dtype=np.int64) * w) // self._tw
+            ys = (np.arange(self._th, dtype=np.int64) * h) // self._th
+            m = (xs, ys)
+            self._maps[key] = m
+        return m
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        refs = batch.column("media_ref").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        widths = batch.column("width").to_numpy(zero_copy_only=False)
+        heights = batch.column("height").to_numpy(zero_copy_only=False)
+        codecs = batch.column("codec").to_pylist()
+        n = len(refs)
+        ok = np.zeros(n, bool)
+        md5s: list[str] = []
+        errors: list[str] = []
+        for i, (p, c) in enumerate(zip(payloads, codecs)):
+            w, h = int(widths[i]), int(heights[i])
+            channels = 3 if c == "raw-rgb" else (1 if c == "raw-gray" else 0)
+            if channels == 0:
+                md5s.append("")
+                errors.append(UNSUPPORTED)
+                continue
+            buf = p or b""
+            if w <= 0 or h <= 0 or len(buf) != w * h * channels:
+                md5s.append("")
+                errors.append("size mismatch")
+                continue
+            xs, ys = self._index_map(w, h)
+            img = np.frombuffer(buf, np.uint8).reshape(h, w, channels)
+            out = img[ys[:, None], xs[None, :], :]  # (th, tw, ch) gather
+            ok[i] = True
+            md5s.append(hashlib.md5(out.tobytes()).hexdigest())
+            errors.append("")
+        return pa.Table.from_arrays(
+            [
+                pa.array(refs, pa.string()),
+                pa.array(ok),
+                pa.array(
+                    np.where(ok, self._tw, 0).astype(np.int32)
+                ),
+                pa.array(
+                    np.where(ok, self._th, 0).astype(np.int32)
+                ),
+                pa.array(md5s, pa.string()),
+                pa.array(errors, pa.string()),
+            ],
+            names=["media_ref", "ok", "out_width", "out_height", "out_md5", "error"],
+        )

@@ -707,6 +707,7 @@ def test_query_window_holds_round3_entries():
     for name in [
         "html_main_content",
         "html_extract_tokens",
+        "image_resize",
         "passage_stats",
         "passage_dedup",
         "mixture_plan",

@@ -303,3 +303,49 @@ def test_decode_real_to_png_runs_in_this_container():
     for y in range(4):
         for x in range(6):
             assert np.array_equal(rot[x, 4 - 1 - y], px[y, x])
+
+
+def test_image_resize_nearest_neighbor_exact():
+    """Vectorized NN-resize gather == hand-computed expectations on
+    crafted raw buffers (up- and down-scale, RGB and gray, error rows)."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    from pdfz_ray.stages.media import ImageResizeStage
+
+    # 2x2 RGB: pixels R,G / B,W — upscale to 4x4 quadrants
+    rgb = bytes(
+        [255, 0, 0,  0, 255, 0,
+         0, 0, 255,  255, 255, 255]
+    )
+    # 4x1 gray downscale to 2x1: picks columns 0 and 2
+    gray = bytes([10, 20, 30, 40])
+    batch = pa.Table.from_pylist(
+        [
+            {"media_ref": "up", "payload": rgb, "width": 2, "height": 2, "codec": "raw-rgb"},
+            {"media_ref": "down", "payload": gray, "width": 4, "height": 1, "codec": "raw-gray"},
+            {"media_ref": "bad", "payload": b"xx", "width": 3, "height": 3, "codec": "raw-gray"},
+            {"media_ref": "jpeg", "payload": b"\xff\xd8", "width": 8, "height": 8, "codec": "dct"},
+        ]
+    )
+    stage = ImageResizeStage(target_w=4, target_h=4)
+    out = {r["media_ref"]: r for r in stage(batch).to_pylist()}
+
+    # upscale: each source pixel becomes a 2x2 block (floor mapping)
+    img = np.frombuffer(rgb, np.uint8).reshape(2, 2, 3)
+    expect_up = img[
+        np.array([0, 0, 1, 1])[:, None], np.array([0, 0, 1, 1])[None, :], :
+    ]
+    assert out["up"]["ok"] and out["up"]["out_md5"] == hashlib.md5(
+        expect_up.tobytes()
+    ).hexdigest()
+    # downscale 4x1 gray → 4x4 output samples column (x*4)//4 = x, row 0
+    g = np.frombuffer(gray, np.uint8).reshape(1, 4, 1)
+    expect_down = g[np.zeros(4, np.int64)[:, None], np.arange(4)[None, :], :]
+    assert out["down"]["ok"] and out["down"]["out_md5"] == hashlib.md5(
+        expect_down.tobytes()
+    ).hexdigest()
+    assert not out["bad"]["ok"] and out["bad"]["error"] == "size mismatch"
+    assert not out["jpeg"]["ok"] and "Unsupported" in out["jpeg"]["error"]
