@@ -1446,7 +1446,7 @@ FROM media_ok
         "html_extract_tokens": f"""
             SELECT doc_id,
                    CAST(len(regexp_extract_all(main_text, '\\S+')) AS BIGINT) AS n_tokens,
-                   CAST(strlen(main_text) AS BIGINT) AS n_chars
+                   CAST(length(main_text) AS BIGINT) AS n_chars
             FROM read_parquet('{FIX}/golden_html.parquet')
         """,
         "top_terms": r"""

@@ -1061,27 +1061,59 @@ def _window_hashes(
 ) -> tuple[np.ndarray, np.ndarray]:
     """64-bit order-sensitive hashes of every length-``n`` token window
     (stride 1) → (window hashes uint64, parent row indices). Token
-    hashes come from the vectorized poly-2^64 kernel; windows are
-    combined with a second polynomial pass (n-1 vectorized fused
-    multiply-adds over the flat token-hash array, doc boundaries
-    masked). A window hash equals the oracle's space-joined passage
-    string up to 64-bit collisions (P ≈ W²/2^65 — negligible below
-    ~10^8 distinct windows per verification corpus; at web scale the
-    stats are fingerprint-grade, the standard trade for this op)."""
+    hashes come from the vectorized poly-2^64 kernel, then pass through
+    a splitmix64 finalizer BEFORE the window combine: the raw poly
+    hashes share the byte-level base with the combine, so adjacent
+    tokens' exponent ranges would overlap and windows like
+    ``x ab de q r`` / ``x ac ce q r`` would structurally collide.
+    Mixing makes each token hash behave as an independent uniform
+    64-bit value, restoring the random-collision bound P ≈ W²/2^65 —
+    negligible below ~10^8 distinct windows per verification corpus;
+    at web scale the stats are fingerprint-grade, the standard trade
+    for this op."""
+    toks, parent = _doc_tokens(text_col)
+    acc, valid, w = _combine_windows(toks, parent, n, base)
+    if w <= 0:
+        return np.zeros(0, np.uint64), np.zeros(0, np.int64)
+    return acc[valid], parent[:w][valid]
+
+
+def _mix64(h: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer — a bijective avalanche mixer on
+    uint64 (Steele et al., "Fast Splittable Pseudorandom Number
+    Generators", OOPSLA'14 — the public-domain splitmix64 constants).
+    Used to decorrelate poly-2^64 token hashes from the window-combine
+    polynomial so window hashes are not byte-aliasable across token
+    boundaries."""
+    h = h.astype(np.uint64, copy=True)
+    h ^= h >> np.uint64(30)
+    h *= np.uint64(0xBF58476D1CE4E5B9)
+    h ^= h >> np.uint64(27)
+    h *= np.uint64(0x94D049BB133111EB)
+    h ^= h >> np.uint64(31)
+    return h
+
+
+def _combine_windows(
+    toks: pa.Array, parent: np.ndarray, n: int, base: int | None = None
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Shared window-combine kernel for the passage family: splitmix64-
+    mixed token hashes folded by n-1 fused multiply-adds → (acc window
+    hashes aligned to flat token positions, doc-boundary validity mask,
+    window count w). w ≤ 0 means no windows; acc/valid are empty then."""
     from .text import POLY_BASE, poly64_array
 
     b = np.uint64(base if base is not None else POLY_BASE)
-    toks, parent = _doc_tokens(text_col)
-    th = poly64_array(toks)
+    th = _mix64(poly64_array(toks))
     w = len(th) - n + 1
     if w <= 0:
-        return np.zeros(0, np.uint64), np.zeros(0, np.int64)
+        return np.zeros(0, np.uint64), np.zeros(0, bool), w
     acc = th[:w].copy()
     for k in range(1, n):
         acc *= b
         acc += th[k : w + k]
     valid = parent[:w] == parent[n - 1 :]
-    return acc[valid], parent[:w][valid]
+    return acc, valid, w
 
 
 def _common_window_set(
@@ -1101,7 +1133,6 @@ def _common_window_set(
     push-based shuffle enabled for this one exchange the same tier runs
     in 15 s (16×; measured, see BASELINE.md). Only hashes that clear
     min_docs leave the merge, so the driver collect is common-set-sized."""
-    from ray.data import DataContext
 
     def distinct_partial(batch: pa.Table) -> pa.Table:
         wh, parent = _window_hashes(batch.column("text"), n)
@@ -1133,18 +1164,23 @@ def _common_window_set(
         keep = docs >= min_docs
         return pa.Table.from_arrays([pa.array(uh[keep])], names=["whash"])
 
-    ctx = DataContext.get_current()
-    prev = ctx.use_push_based_shuffle
-    ctx.use_push_based_shuffle = True
+    # Scope the push-based-shuffle override to THIS dataset chain's own
+    # DataContext (each Dataset captures a context copy at creation;
+    # derived datasets share it along the chain but never the global
+    # DataContext.get_current()), so concurrently executing datasets in
+    # the same driver are untouched. The input ds shares the chain's
+    # context, so restore its prior value after the collect.
+    pipeline = (
+        ds.map_batches(distinct_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("bucket")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+    prev = pipeline.context.use_push_based_shuffle
+    pipeline.context.use_push_based_shuffle = True
     try:
-        common = (
-            ds.map_batches(distinct_partial, batch_format="pyarrow", batch_size=None)
-            .groupby("bucket")
-            .map_groups(merge, batch_format="pyarrow")
-            .to_pandas()
-        )
+        common = pipeline.to_pandas()
     finally:
-        ctx.use_push_based_shuffle = prev
+        pipeline.context.use_push_based_shuffle = prev
     return np.sort(
         common["whash"].to_numpy().astype(np.int64).view(np.uint64)
         if len(common)
@@ -1322,8 +1358,11 @@ def mixture_materialize(
     def replicate(batch: pa.Table) -> pa.Table:
         n = batch.column("n_copies").to_numpy()
         idx = np.repeat(np.arange(len(n)), n)
-        # copy_idx = position within each doc's run of repeats
-        starts = np.concatenate(([0], np.cumsum(n)[:-1]))
+        # copy_idx = position within each doc's run of repeats; starts is
+        # built as cumsum-prefixed-with-0 sliced to len(n) so a zero-row
+        # batch (mixture_plan can filter out every row of a block) yields
+        # empty arrays instead of a broadcast error
+        starts = np.concatenate(([0], np.cumsum(n)))[: len(n)]
         copy_idx = np.arange(int(n.sum())) - np.repeat(starts, n)
         sel = pa.array(idx)
         return pa.Table.from_arrays(
@@ -1580,18 +1619,9 @@ def passage_dedup_corpus(
         L = len(toks)
         if L == 0:
             return empty
-        from .text import POLY_BASE, poly64_array
-
-        th = poly64_array(toks)
         covered = np.zeros(L + 1, np.int64)
-        w = L - n + 1
+        acc, valid, w = _combine_windows(toks, parent, n)
         if w > 0 and len(cs):
-            b = np.uint64(POLY_BASE)
-            acc = th[:w].copy()
-            for k in range(1, n):
-                acc *= b
-                acc += th[k : w + k]
-            valid = parent[:w] == parent[n - 1 :]
             pos = np.searchsorted(cs, acc)
             hit = valid & (pos < len(cs)) & (cs[np.minimum(pos, len(cs) - 1)] == acc)
             starts = np.nonzero(hit)[0]

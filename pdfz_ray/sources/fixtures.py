@@ -49,9 +49,10 @@ def ensure_fixtures(sf_dir: str) -> dict[str, str]:
         "golden_html": os.path.join(d, "golden_html.parquet"),
         "golden_resize": os.path.join(d, "golden_resize.parquet"),
     }
-    # v7: adds the nearest-neighbor resize golden (pure-Python pixel-loop
-    # reference); bumping regenerates stale caches
-    marker = os.path.join(d, "_DONE_v7")
+    # v8: html corpus now escapes doc text (advisor r3 — text containing
+    # <, & or > must not produce malformed markup); bumping regenerates
+    # stale caches
+    marker = os.path.join(d, "_DONE_v8")
     if os.path.exists(marker):
         return paths
     os.makedirs(d, exist_ok=True)

@@ -161,12 +161,17 @@ def make_html_corpus(docs: pa.Table, seed: int = 42) -> pa.Table:
     that survives tag-stripping but fails the density rule), short teaser
     blocks (fail the length rule), and a footer. Seeded per doc_id, so
     pages are identical across runs and scale factors."""
+    import html as _html
+
     ids = docs.column("doc_id").to_pylist()
     texts = docs.column("text").to_pylist()
     pages = []
     for i, (did, text) in enumerate(zip(ids, texts)):
         rng = np.random.default_rng(np.random.SeedSequence([seed, int(did)]))
-        toks = (text or "").split()
+        # escape HTML-special characters so doc text containing <, > or &
+        # cannot produce malformed markup that the stdlib parser and the
+        # regex-stack reference would disagree on
+        toks = _html.escape(text or "").split()
         paras = [
             " ".join(toks[j : j + 40]) for j in range(0, max(len(toks), 1), 40)
         ]

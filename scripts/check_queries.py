@@ -1,7 +1,9 @@
 """Side-by-side check of queries() vs oracle_sql() — the driver's
 correctness gate, reproduced locally. Run from /root/repo:
 
-    python scripts/check_queries.py [sf_dir]
+    python scripts/check_queries.py [sf_dir] [only_csv]
+
+Optional second arg: comma-separated query names to check (default all).
 """
 
 import os
@@ -35,7 +37,7 @@ def compare(got: pd.DataFrame, want: pd.DataFrame) -> tuple[bool, str]:
     return False, f"value diff at row {i}:\n  got  {g.loc[i].to_dict()}\n  want {w.loc[i].to_dict()}"
 
 
-def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
+def main(sf_dir: str = "/root/testdata/sf0.01", only: str = "") -> int:
     ray.init(
         address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR"
     )
@@ -51,6 +53,9 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
     qs, sqls = e.queries(), e.oracle_sql()
+    if only:
+        keep = {s.strip() for s in only.split(",") if s.strip()}
+        qs = {k: v for k, v in qs.items() if k in keep}
     failures = 0
     for name, fn in qs.items():
         try:

@@ -817,3 +817,57 @@ def test_mixture_materialize_replicates_epochs(ray_session):
     # the boosted source multi-epochs: its docs replicate >= 2x
     boosted = [plan[d] for d in plan if d % 2 == 0]
     assert min(boosted) >= 2
+
+
+# round-4 regression tests (advisor items)
+
+
+def test_window_hashes_not_byte_aliasable():
+    """Advisor r3: raw poly-2^64 token hashes combined with the SAME base
+    as the byte hash let adjacent tokens' exponent ranges overlap —
+    'x ab de q r' and 'x ac ce q r' collided structurally. The splitmix64
+    finalizer on each token hash breaks byte aliasing across token
+    boundaries."""
+    from pdfz_ray.functions.curation import _window_hashes
+
+    col = pa.array(["x ab de q r", "x ac ce q r"])
+    wh, parent = _window_hashes(col, 5)
+    assert len(wh) == 2
+    assert wh[0] != wh[1]
+    # and identical windows still hash identically
+    col2 = pa.array(["x ab de q r", "pad x ab de q r"])
+    wh2, _ = _window_hashes(col2, 5)
+    assert wh[0] == wh2[0] and wh[0] in set(wh2)
+
+
+def test_mixture_materialize_empty_batch_safe(ray_session):
+    """Advisor r3: replicate() raised on zero-row batches (starts had
+    length 1 while n had length 0). Feed a corpus whose only block is
+    entirely unknown-source (filtered out by mixture_plan.assign) plus a
+    normal block, and check the pipeline survives end to end."""
+    import ray.data
+
+    from pdfz_ray.functions.curation import mixture_materialize
+    from pdfz_ray.functions.curation import mixture_plan as _mp
+
+    # block 1: every row has zero tokens -> its source never enters the
+    # plan -> assign() emits a zero-row batch for it
+    t1 = pa.Table.from_arrays(
+        [pa.array([1, 2], pa.int64()), pa.array(["", ""]), pa.array(["emptysrc"] * 2)],
+        names=["doc_id", "text", "source"],
+    )
+    t2 = pa.Table.from_arrays(
+        [pa.array([3, 4], pa.int64()), pa.array(["a b c", "d e f"]), pa.array(["web"] * 2)],
+        names=["doc_id", "text", "source"],
+    )
+    ds = ray.data.from_arrow([t1, t2])
+    plan_rows = _mp(ds, weights={"web": 1}, budget=12).take_all()
+    assert {int(r["doc_id"]) for r in plan_rows} == {3, 4}
+    out = mixture_materialize(ds, weights={"web": 1}, budget=12).take_all()
+    assert {int(r["doc_id"]) for r in out} == {3, 4}
+    per_doc: dict[int, int] = {}
+    for r in out:
+        per_doc[int(r["doc_id"])] = per_doc.get(int(r["doc_id"]), 0) + 1
+    # sum_w counts BOTH sources present (emptysrc defaults to weight 1),
+    # so web's share is 12*1//2 = 6 tokens over its 6 => 1 copy each
+    assert per_doc == {3: 1, 4: 1}

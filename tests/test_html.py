@@ -109,3 +109,28 @@ def test_corpus_generator_is_deterministic():
     a = make_html_corpus(docs)
     b = make_html_corpus(docs)
     assert a.equals(b)
+
+
+def test_corpus_generator_escapes_special_chars():
+    """Advisor r3: doc text containing <, & or > must be escaped into the
+    page so the stdlib parser and the regex-stack reference agree; both
+    sides unescape, so the extracted text round-trips the original."""
+    specials = (
+        "tom & jerry <b>not-a-tag</b> 1<2 and 3>2 café naïve "
+        + " ".join(f"w{i}" for i in range(30))
+    )
+    docs = pa.Table.from_arrays(
+        [pa.array([7], pa.int64()), pa.array([specials])],
+        names=["doc_id", "text"],
+    )
+    pages = make_html_corpus(docs)
+    h = pages.column("html")[0].as_py()
+    # the raw markup must not contain the unescaped '<b>' from doc text
+    assert "<b>not-a-tag</b>" not in h
+    out = main_content_batch(pages)
+    ref = main_content_ref(h)
+    assert out.column("main_text")[0].as_py() == ref["main_text"]
+    # the original special characters survive extraction un-mangled
+    assert "tom & jerry" in ref["main_text"]
+    assert "<b>not-a-tag</b>" in ref["main_text"]
+    assert "café" in ref["main_text"]
