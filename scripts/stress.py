@@ -311,10 +311,54 @@ def round3():
     print(json.dumps({"stress": "round3", "timings": t, "outputs": out}))
 
 
+def windows1m():
+    """1M-event tier for the bucketed window family (VERDICT r3
+    next-round #4): sf0.1 events × 10 with unique event_ids and the SAME
+    user population, so every user's history is 10× deeper — the shape
+    that killed the per-user map_groups granularity. All three ops run
+    through the bounded ``user_id % B`` shuffle key with fully
+    vectorized per-bucket kernels."""
+    ray = init_ray()
+
+    from pdfz_ray.functions.windows import (
+        asof_join_events,
+        running_event_counts,
+        sessionize_bucketed,
+    )
+
+    d = os.path.join(STRESS_ROOT, "events-1m")
+    marker = os.path.join(d, "_DONE")
+    if not os.path.exists(marker):
+        os.makedirs(d, exist_ok=True)
+        base = pq.read_table(f"{SF_DIR}/events.parquet")
+        n = base.num_rows
+        i = base.column_names.index("event_id")
+        parts = [
+            base.set_column(i, "event_id", pc.add(base.column("event_id"), k * n))
+            for k in range(10)
+        ]
+        pq.write_table(pa.concat_tables(parts), os.path.join(d, "events.parquet"))
+        with open(marker, "w") as f:
+            f.write("ok\n")
+
+    t: dict[str, float] = {}
+    out: dict[str, int] = {}
+    out["running_rows"] = timed(
+        t, "running_event_counts_1m", lambda: len(running_event_counts(d))
+    )
+    out["asof_rows"] = timed(t, "asof_join_1m", lambda: len(asof_join_events(d)))
+    out["sessions"] = timed(
+        t, "sessionize_bucketed_1m", lambda: len(sessionize_bucketed(d))
+    )
+    ray.shutdown()
+    print(json.dumps({"stress": "windows-1m", "timings": t, "outputs": out}))
+
+
 if __name__ == "__main__":
     {
         "neardup": neardup,
         "curation1m": curation1m,
         "rarity": rarity,
         "round3": round3,
+        "windows1m": windows1m,
     }[sys.argv[1]]()

@@ -512,3 +512,50 @@ def test_bloom_filter_membership(ray_session, docs_ds):
     )
     fp = bf.contains_hashes(probes).mean()
     assert fp < 0.01, fp
+
+
+def test_asof_bucketed_kernel_edges(ray_session, tmp_path):
+    """Pin the segmented lexsort+cummax as-of kernel (r4 bucketed rework):
+    exact-ts right events match, a right event from the PREVIOUS user in
+    the same bucket never carries across, lefts with no prior right drop,
+    and bucket counts 1 / 3 / 16 give identical output."""
+    import pandas as pd
+    import pyarrow.parquet as _pq
+
+    from pdfz_ray.functions.windows import asof_join_events
+
+    t0 = pd.Timestamp("2024-01-01")
+    m = pd.Timedelta(minutes=1)
+    rows = [
+        # user 0: view@2, clicks at 1 (drops), 2 (exact-ts match), 5
+        (1, 0, t0 + 1 * m, "click"),
+        (2, 0, t0 + 2 * m, "view"),
+        (3, 0, t0 + 2 * m, "click"),
+        (4, 0, t0 + 5 * m, "click"),
+        # user 16 (same bucket as 0 at B=16): click BEFORE its own view —
+        # user 0's view must not carry over
+        (5, 16, t0 + 3 * m, "click"),
+        (6, 16, t0 + 4 * m, "view"),
+        (7, 16, t0 + 6 * m, "click"),
+        # duplicate (user, ts) views: max event_id wins
+        (8, 7, t0 + 1 * m, "view"),
+        (9, 7, t0 + 1 * m, "view"),
+        (10, 7, t0 + 2 * m, "click"),
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "ts", "event_type"])
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    d = tmp_path / "sf"
+    d.mkdir()
+    _pq.write_table(pa.Table.from_pandas(df, preserve_index=False), d / "events.parquet")
+
+    out = asof_join_events(str(d)).sort_values("event_id").reset_index(drop=True)
+    assert out["event_id"].tolist() == [3, 4, 7, 10]
+    assert out["matched_event_id"].tolist() == [2, 2, 6, 9]
+    for b in (1, 3):
+        alt = (
+            asof_join_events(str(d), buckets=b)
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        assert alt["event_id"].tolist() == out["event_id"].tolist()
+        assert alt["matched_event_id"].tolist() == out["matched_event_id"].tolist()
