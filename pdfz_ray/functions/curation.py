@@ -263,26 +263,78 @@ def pack_sequences(
 
 
 # ---------------------------------------------------------------------------
-# Stratified hash sampling
+# Stratified hash sampling + the shared content-hash pass
 # ---------------------------------------------------------------------------
 
 DEFAULT_RATE_PCT = 10
 BOOST_RATES = {"src0": 50}  # per-source overrides (e.g. upweight a domain)
 
 
-def hash_sample_batch(batch: pa.Table, rates: dict | None = None) -> pa.Table:
+def _md5_hex(text_col) -> list[str]:
+    """Per-doc md5 hexdigests over a text column — the DuckDB-equality
+    content key every hash-keyed curation operator derives its bucket
+    from. One C call per doc; at corpus scale this is each operator's
+    hottest loop, which is why :func:`with_content_hash` exists to pay
+    it exactly once for a composed pipeline."""
+    texts = pc.fill_null(text_col, "").to_pylist()
+    return [hashlib.md5(t.encode()).hexdigest() for t in texts]
+
+
+def with_content_hash(
+    ds: "ray.data.Dataset", text_col: str = "text", out_col: str = "content_hash"
+) -> "ray.data.Dataset":
+    """ONE corpus pass appending ``md5(text)`` as a hex column. Feed the
+    result to ``hash_sample_batch`` / ``mixture_plan`` / ``dedup_against``
+    / ``split_assign_grouped`` via their ``hash_col`` parameter so the
+    composed pipeline runs the md5 loop once instead of once per
+    operator (r3 review item: the shared precomputed key the
+    ``curation_state`` projection already materializes for curate
+    flows, generalized)."""
+
+    def add(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            out_col, pa.array(_md5_hex(batch.column(text_col)), pa.string())
+        )
+
+    return ds.map_batches(add, batch_format="pyarrow")
+
+
+def _bucket16(batch: pa.Table, hash_col: str | None, text_col: str = "text") -> np.ndarray:
+    """Per-row 16-bit md5 bucket: sliced from the precomputed hexdigest
+    column when ``hash_col`` is given, else one md5 pass over the text."""
+    if hash_col is not None:
+        hx = batch.column(hash_col).to_pylist()
+    else:
+        hx = _md5_hex(batch.column(text_col))
+    return np.array([int(x[:4], 16) for x in hx], np.int64)
+
+
+def _hash_u64(batch: pa.Table, hash_col: str | None, idx=None) -> np.ndarray:
+    """Per-row 64-bit md5 prefix (uint64), optionally over a row subset."""
+    if hash_col is not None:
+        hx = batch.column(hash_col).to_pylist()
+        if idx is not None:
+            hx = [hx[i] for i in idx]
+    else:
+        col = batch.column("text")
+        if idx is not None:
+            col = col.take(pa.array(np.asarray(idx, np.int64)))
+        hx = _md5_hex(col)
+    return np.array([np.uint64(int(x[:16], 16)) for x in hx], np.uint64)
+
+
+def hash_sample_batch(
+    batch: pa.Table, rates: dict | None = None, hash_col: str | None = None
+) -> pa.Table:
     """Deterministic stratified sampling: keep a doc iff the first 16 bits
     of md5(text) fall under its source's rate — the same content-hash
     bucketing as the train/val/test split (``text.split_assign_batch``),
     so samples are stable across runs and cluster sizes, and a given text
     is sampled consistently wherever it appears. Per-source rates let a
-    curation pipeline up/down-weight domains."""
+    curation pipeline up/down-weight domains. ``hash_col`` names a
+    precomputed md5-hex column (see :func:`with_content_hash`)."""
     rates = BOOST_RATES if rates is None else rates
-    texts = batch.column("text").to_pylist()
-    buckets = np.array(
-        [int(hashlib.md5((t or "").encode()).hexdigest()[:4], 16) for t in texts],
-        np.int64,
-    )
+    buckets = _bucket16(batch, hash_col)
     sources = batch.column("source").to_pylist()
     thresh = np.array(
         [(rates.get(s, DEFAULT_RATE_PCT) * 65536) // 100 for s in sources],
@@ -977,6 +1029,7 @@ def split_assign_grouped(
     val_pct: int = 10,
     pairs: "pa.Table | None" = None,
     pairs_mode: str = "lsh",
+    hash_col: str | None = None,
 ) -> "ray.data.Dataset":
     """Leakage-SAFE split assignment: splits are decided per near-dup
     COMPONENT (all members inherit the group representative's content-hash
@@ -1009,15 +1062,18 @@ def split_assign_grouped(
         reps = sorted(set(comp["group_id"]))
         rep_set = pa.array(np.array(reps, np.int64))
 
-        def rep_texts(batch: pa.Table) -> pa.Table:
+        def rep_buckets(batch: pa.Table) -> pa.Table:
             sel = pc.is_in(batch.column("doc_id"), value_set=rep_set)
-            return batch.filter(sel)
+            kept = batch.filter(sel)
+            return pa.Table.from_arrays(
+                [kept.column("doc_id"), pa.array(_bucket16(kept, hash_col))],
+                names=["doc_id", "bucket"],
+            )
 
-        rep_df = ds.map_batches(rep_texts, batch_format="pyarrow").to_pandas()
-        rep_hash = {
-            int(i): int(hashlib.md5((t or "").encode()).hexdigest()[:4], 16)
-            for i, t in zip(rep_df["doc_id"], rep_df["text"])
-        }
+        rep_df = ds.map_batches(rep_buckets, batch_format="pyarrow").to_pandas()
+        rep_hash = dict(
+            zip(rep_df["doc_id"].astype(int), rep_df["bucket"].astype(int))
+        )
         rep_bucket = {
             int(d): rep_hash[int(g)] for d, g in group_of.items()
         }
@@ -1028,14 +1084,9 @@ def split_assign_grouped(
     def assign(batch: pa.Table) -> pa.Table:
         grouped = ray.get(map_ref)
         ids = batch.column("doc_id").to_numpy()
-        texts = batch.column("text").to_pylist()
+        own = _bucket16(batch, hash_col)
         buckets = np.array(
-            [
-                grouped.get(
-                    int(i), int(hashlib.md5((t or "").encode()).hexdigest()[:4], 16)
-                )
-                for i, t in zip(ids, texts)
-            ],
+            [grouped.get(int(i), int(b)) for i, b in zip(ids, own)],
             np.int64,
         )
         split = np.where(buckets < lo, "train", np.where(buckets < hi, "val", "test"))
@@ -1255,6 +1306,7 @@ def mixture_plan(
     ds: "ray.data.Dataset",
     weights: dict[str, int] | None = None,
     budget: int = MIXTURE_BUDGET,
+    hash_col: str | None = None,
 ) -> "ray.data.Dataset":
     """Dataset-mixture application: given integer weight parts per source
     and a total token budget, compute each source's token target
@@ -1319,11 +1371,7 @@ def mixture_plan(
                 [pa.array([], pa.int64()), pa.array([], pa.string()), pa.array([], pa.int64())],
                 names=["doc_id", "source", "n_copies"],
             )
-        texts = batch.column("text").to_pylist()
-        buckets = np.array(
-            [int(hashlib.md5((t or "").encode()).hexdigest()[:4], 16) for t in texts],
-            np.int64,
-        )
+        buckets = _bucket16(batch, hash_col)
         idx_arr = pc.index_in(batch.column("source"), value_set=plan_srcs)
         known = pc.is_valid(idx_arr).to_numpy(zero_copy_only=False)
         idx = (
@@ -1347,13 +1395,14 @@ def mixture_materialize(
     ds: "ray.data.Dataset",
     weights: dict[str, int] | None = None,
     budget: int = MIXTURE_BUDGET,
+    hash_col: str | None = None,
 ) -> "ray.data.Dataset":
     """Apply the mixture plan: replicate every doc ``n_copies`` times with
     an explicit epoch index (copy_idx 0..n_copies-1) — the rows a shard
     writer actually packs. Pure per-batch np.repeat over the plan output;
     no shuffle beyond :func:`mixture_plan`'s sources-sized partial.
     Output: (doc_id, source, copy_idx)."""
-    plan = mixture_plan(ds, weights=weights, budget=budget)
+    plan = mixture_plan(ds, weights=weights, budget=budget, hash_col=hash_col)
 
     def replicate(batch: pa.Table) -> pa.Table:
         n = batch.column("n_copies").to_numpy()
@@ -1410,7 +1459,7 @@ def mixture_sql(
 
 
 def dedup_against(
-    ds: "ray.data.Dataset", ref_source: str = "src0"
+    ds: "ray.data.Dataset", ref_source: str = "src0", hash_col: str | None = None
 ) -> "ray.data.Dataset":
     """Cross-corpus exact dedup: drop from the corpus every document
     whose content fingerprint appears in a REFERENCE corpus (here: the
@@ -1430,14 +1479,7 @@ def dedup_against(
 
     def ref_hashes(batch: pa.Table) -> pa.Table:
         mask = pc.equal(batch.column("source"), ref_source)
-        texts = batch.filter(mask).column("text").to_pylist()
-        h = np.array(
-            [
-                np.uint64(int(hashlib.md5((t or "").encode()).hexdigest()[:16], 16))
-                for t in texts
-            ],
-            np.uint64,
-        )
+        h = _hash_u64(batch.filter(mask), hash_col)
         return pa.Table.from_arrays(
             [pa.array(np.unique(h).view(np.int64))], names=["h"]
         )
@@ -1457,19 +1499,10 @@ def dedup_against(
         mask = pc.not_equal(batch.column("source"), ref_source).to_numpy(
             zero_copy_only=False
         )
-        texts = batch.column("text").to_pylist()
         keep = mask.copy()
         if len(rh):
             idx = np.nonzero(mask)[0]
-            h = np.array(
-                [
-                    np.uint64(
-                        int(hashlib.md5((texts[i] or "").encode()).hexdigest()[:16], 16)
-                    )
-                    for i in idx
-                ],
-                np.uint64,
-            )
+            h = _hash_u64(batch, hash_col, idx=idx)
             pos = np.searchsorted(rh, h)
             dup = (pos < len(rh)) & (rh[np.minimum(pos, len(rh) - 1)] == h)
             keep[idx[dup]] = False
@@ -1479,7 +1512,7 @@ def dedup_against(
 
 
 def shuffle_rank(
-    ds: "ray.data.Dataset", bucket_hex_digits: int = 3
+    ds: "ray.data.Dataset", bucket_hex_digits: int = 3, key_col: str | None = None
 ) -> "ray.data.Dataset":
     """Global deterministic training-shuffle rank: every doc's position
     in the corpus-wide permutation ordered by (md5(doc_id), doc_id) —
@@ -1500,8 +1533,11 @@ def shuffle_rank(
     nd = bucket_hex_digits
 
     def keyed(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        keys = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        if key_col is not None:
+            keys = batch.column(key_col).to_pylist()
+        else:
+            ids = batch.column("doc_id").to_pylist()
+            keys = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
         buckets = np.array([int(k[:nd], 16) for k in keys], np.int64)
         return pa.Table.from_arrays(
             [batch.column("doc_id"), pa.array(keys, pa.string()), pa.array(buckets)],

@@ -871,3 +871,76 @@ def test_mixture_materialize_empty_batch_safe(ray_session):
     # sum_w counts BOTH sources present (emptysrc defaults to weight 1),
     # so web's share is 12*1//2 = 6 tokens over its 6 => 1 copy each
     assert per_doc == {3: 1, 4: 1}
+
+
+def test_shared_content_hash_feeds_operators(ray_session):
+    """r3 review item #5/next-round #6: with_content_hash runs the per-doc
+    md5 loop ONCE; hash_sample_batch, mixture_plan, dedup_against and
+    split_assign_grouped consume the precomputed column via hash_col and
+    produce byte-identical output to their self-hashing default path."""
+    import ray.data
+
+    from pdfz_ray.functions.curation import (
+        dedup_against,
+        hash_sample_batch,
+        mixture_plan,
+        split_assign_grouped,
+        with_content_hash,
+    )
+
+    n = 120
+    texts = [f"doc {i} " + " ".join(f"w{(i * 7 + j) % 40}" for j in range(12)) for i in range(n)]
+    # make doc 0/1 exact cross-source dups so dedup_against has real work
+    texts[1] = texts[0]
+    srcs = ["src0" if i % 3 == 0 else "web" for i in range(n)]
+    tbl = pa.Table.from_arrays(
+        [pa.array(range(n), pa.int64()), pa.array(texts), pa.array(srcs)],
+        names=["doc_id", "text", "source"],
+    )
+
+    def mk():
+        return ray.data.from_arrow(tbl)
+
+    # ONE hash pass, materialized so downstream operators reuse the blocks
+    hashed = with_content_hash(mk()).materialize()
+
+    def rows(ds_or_tbl):
+        t = ds_or_tbl.to_pandas() if hasattr(ds_or_tbl, "to_pandas") else ds_or_tbl
+        cols = sorted(t.columns)
+        return sorted(map(tuple, t[cols].astype(str).values.tolist()))
+
+    # 1. hash_sample (batch-level, via map_batches with fn_kwargs)
+    base = mk().map_batches(hash_sample_batch, batch_format="pyarrow")
+    shared = hashed.map_batches(
+        hash_sample_batch, batch_format="pyarrow", fn_kwargs={"hash_col": "content_hash"}
+    )
+    assert rows(base) == rows(shared) and len(rows(base)) > 0
+
+    # 2. mixture_plan
+    a = rows(mixture_plan(mk(), weights={"web": 3}, budget=5000))
+    b = rows(mixture_plan(hashed, weights={"web": 3}, budget=5000, hash_col="content_hash"))
+    assert a == b and len(a) > 0
+
+    # 3. dedup_against
+    a = rows(dedup_against(mk(), ref_source="src0"))
+    b = rows(dedup_against(hashed, ref_source="src0", hash_col="content_hash"))
+    assert a == b
+    assert all(r[1] != "src0" for r in a)  # (doc_id, source) survivors
+
+    # 4. split_assign_grouped
+    a = rows(split_assign_grouped(mk(), pairs_mode="exact"))
+    b = rows(split_assign_grouped(hashed, pairs_mode="exact", hash_col="content_hash"))
+    assert a == b and len(a) == n
+
+    # consumption proof: a deliberately WRONG hash column steers the
+    # sample (so the operator cannot be re-hashing text under the hood)
+    wrong = mk().map_batches(
+        lambda t: t.append_column(
+            "content_hash", pa.array(["ffff" + "0" * 28] * t.num_rows)
+        ),
+        batch_format="pyarrow",
+    )
+    steered = wrong.map_batches(
+        hash_sample_batch, batch_format="pyarrow", fn_kwargs={"hash_col": "content_hash"}
+    )
+    assert steered.count() == 0  # bucket 0xffff clears every rate
