@@ -1167,14 +1167,22 @@ def _combine_windows(
     return acc, valid, w
 
 
-def _common_window_set(
+# Above this many common (≥ min_docs) window hashes the passage family
+# stops broadcasting the set and switches to the sharded hash-partitioned
+# merge (~32 MB of uint64 at the default — the doc_rarity-style fallback
+# for pathologically duplicated corpora).
+PASSAGE_BROADCAST_LIMIT = 4_000_000
+
+
+def _common_window_set_ds(
     ds: "ray.data.Dataset", n: int, min_docs: int
-) -> np.ndarray:
+) -> "ray.data.Dataset":
     """Shared phase 1 of the passage family: per-doc-DISTINCT window-hash
     partials (each doc lives in exactly one row, so batch partials sum to
     exact distinct-doc counts) → a bucketed exchange bounded by DISTINCT
-    passages → the sorted uint64 set of hashes present in ≥ min_docs
-    docs.
+    passages → the (bucket, whash) set of hashes present in ≥ min_docs
+    docs, kept in the DATA PLANE (materialized) so callers can count it
+    before deciding between the broadcast and sharded phase-2 paths.
 
     The exchange is NOT a per-hash groupby: sorting tens of millions of
     partial rows by a 238k-value key took 240 s at the 1M-doc stress
@@ -1183,7 +1191,7 @@ def _common_window_set(
     vectorized np.unique/bincount merge runs per bucket; with Ray's
     push-based shuffle enabled for this one exchange the same tier runs
     in 15 s (16×; measured, see BASELINE.md). Only hashes that clear
-    min_docs leave the merge, so the driver collect is common-set-sized."""
+    min_docs leave the merge."""
 
     def distinct_partial(batch: pa.Table) -> pa.Table:
         wh, parent = _window_hashes(batch.column("text"), n)
@@ -1213,14 +1221,23 @@ def _common_window_set(
         uh, inv = np.unique(h, return_inverse=True)
         docs = np.bincount(inv, weights=c)
         keep = docs >= min_docs
-        return pa.Table.from_arrays([pa.array(uh[keep])], names=["whash"])
+        kept = uh[keep]
+        return pa.Table.from_arrays(
+            [
+                pa.array(
+                    np.full(len(kept), group.column("bucket")[0].as_py(), np.int8)
+                ),
+                pa.array(kept),
+            ],
+            names=["bucket", "whash"],
+        )
 
     # Scope the push-based-shuffle override to THIS dataset chain's own
     # DataContext (each Dataset captures a context copy at creation;
     # derived datasets share it along the chain but never the global
     # DataContext.get_current()), so concurrently executing datasets in
     # the same driver are untouched. The input ds shares the chain's
-    # context, so restore its prior value after the collect.
+    # context, so restore its prior value after the materialize.
     pipeline = (
         ds.map_batches(distinct_partial, batch_format="pyarrow", batch_size=None)
         .groupby("bucket")
@@ -1229,9 +1246,15 @@ def _common_window_set(
     prev = pipeline.context.use_push_based_shuffle
     pipeline.context.use_push_based_shuffle = True
     try:
-        common = pipeline.to_pandas()
+        return pipeline.materialize()
     finally:
         pipeline.context.use_push_based_shuffle = prev
+
+
+def _collect_window_set(common_ds: "ray.data.Dataset") -> np.ndarray:
+    """Driver collect of a phase-1 result → sorted uint64 hash set (the
+    broadcast path; callers gate on PASSAGE_BROADCAST_LIMIT first)."""
+    common = common_ds.to_pandas()
     return np.sort(
         common["whash"].to_numpy().astype(np.int64).view(np.uint64)
         if len(common)
@@ -1239,8 +1262,172 @@ def _common_window_set(
     )
 
 
+def _common_window_set(
+    ds: "ray.data.Dataset", n: int, min_docs: int
+) -> np.ndarray:
+    """Phase 1 + driver collect (broadcast-path convenience)."""
+    return _collect_window_set(_common_window_set_ds(ds, n, min_docs))
+
+
+def _passage_stats_sharded(
+    ds: "ray.data.Dataset", common: "ray.data.Dataset", n: int
+) -> "ray.data.Dataset":
+    """Sharded phase 2 of :func:`passage_stats` for common sets too large
+    to broadcast (the doc_rarity-style partitioned merge): corpus batches
+    emit per-(doc, distinct-window) occurrence counts tagged with the
+    same 6-bit hash-prefix bucket as the common set; one groupby("bucket")
+    co-partitions both sides; a vectorized searchsorted membership inside
+    each bucket turns counts into per-doc dup partials; a final
+    groupby(doc_id).sum folds partials with the batch-local window totals.
+    The exchange ships ~20 B per distinct (doc, window) pair — the price
+    of not broadcasting, paid only on pathologically duplicated corpora."""
+    from ray.data.aggregate import Sum
+
+    def corpus_partial(batch: pa.Table) -> pa.Table:
+        empty = pa.Table.from_arrays(
+            [
+                pa.array([], pa.int8()),
+                pa.array([], pa.int64()),
+                pa.array([], pa.int64()),
+                pa.array([], pa.int64()),
+                pa.array([], pa.int64()),
+                pa.array([], pa.int8()),
+            ],
+            names=["bucket", "whash", "doc_id", "cnt", "n_windows", "side"],
+        )
+        if batch.num_rows == 0:
+            return empty
+        wh, parent = _window_hashes(batch.column("text"), n)
+        if len(wh) == 0:
+            return empty
+        ids = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        # per-(doc, whash) occurrence counts
+        pairs, cnt = np.unique(
+            np.stack([parent.astype(np.uint64), wh], 1), axis=0, return_counts=True
+        )
+        pdoc = pairs[:, 0].astype(np.int64)
+        puh = pairs[:, 1]
+        # per-doc totals ride the same table as side=0 rows
+        n_win = np.bincount(parent, minlength=batch.num_rows)
+        tot_idx = np.nonzero(n_win > 0)[0]
+        return pa.Table.from_arrays(
+            [
+                pa.array(
+                    np.concatenate(
+                        [
+                            (puh >> np.uint64(58)).astype(np.int8),
+                            np.zeros(len(tot_idx), np.int8),
+                        ]
+                    )
+                ),
+                pa.array(
+                    np.concatenate(
+                        [puh.view(np.int64), np.zeros(len(tot_idx), np.int64)]
+                    )
+                ),
+                pa.array(np.concatenate([ids[pdoc], ids[tot_idx]])),
+                pa.array(
+                    np.concatenate([cnt.astype(np.int64), np.zeros(len(tot_idx), np.int64)])
+                ),
+                pa.array(
+                    np.concatenate(
+                        [np.zeros(len(pairs), np.int64), n_win[tot_idx].astype(np.int64)]
+                    )
+                ),
+                pa.array(
+                    np.concatenate(
+                        [np.ones(len(pairs), np.int8), np.full(len(tot_idx), 2, np.int8)]
+                    )
+                ),
+            ],
+            names=["bucket", "whash", "doc_id", "cnt", "n_windows", "side"],
+        )
+
+    def tag_common(batch: pa.Table) -> pa.Table:
+        z = np.zeros(batch.num_rows, np.int64)
+        return pa.Table.from_arrays(
+            [
+                batch.column("bucket"),
+                batch.column("whash"),
+                pa.array(z),
+                pa.array(z),
+                pa.array(z),
+                pa.array(np.zeros(batch.num_rows, np.int8)),
+            ],
+            names=["bucket", "whash", "doc_id", "cnt", "n_windows", "side"],
+        )
+
+    def _side(v: int):
+        def f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t.column("side"), v))
+
+        return f
+
+    # `parts` feeds two consumers; it is NOT materialized — pinning a
+    # token-count-sized partial table buys less than re-running the
+    # narrow tokenize+hash pass on this (already pathological) fallback
+    parts = ds.map_batches(corpus_partial, batch_format="pyarrow")
+    totals = parts.map_batches(_side(2), batch_format="pyarrow")
+    window_rows = parts.map_batches(_side(1), batch_format="pyarrow").union(
+        common.map_batches(tag_common, batch_format="pyarrow")
+    )
+
+    def bucket_merge(group: pa.Table) -> pa.Table:
+        side = group.column("side").to_numpy()
+        h = group.column("whash").to_numpy()
+        cs = np.sort(h[side == 0].view(np.uint64))
+        corp = side == 1
+        ch = h[corp].view(np.uint64)
+        out = pa.Table.from_arrays(
+            [pa.array([], pa.int64())] * 3,
+            names=["doc_id", "n_windows", "n_dup_windows"],
+        )
+        if not len(ch) or not len(cs):
+            return out
+        pos = np.searchsorted(cs, ch)
+        hit = (pos < len(cs)) & (cs[np.minimum(pos, len(cs) - 1)] == ch)
+        if not hit.any():
+            return out
+        docs = group.column("doc_id").to_numpy()[corp][hit]
+        cnts = group.column("cnt").to_numpy()[corp][hit]
+        ud, inv = np.unique(docs, return_inverse=True)
+        dup = np.bincount(inv, weights=cnts).astype(np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(ud), pa.array(np.zeros(len(ud), np.int64)), pa.array(dup)],
+            names=["doc_id", "n_windows", "n_dup_windows"],
+        )
+
+    dup_parts = window_rows.groupby("bucket").map_groups(
+        bucket_merge, batch_format="pyarrow"
+    )
+    tot_rows = totals.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [
+                t.column("doc_id"),
+                t.column("n_windows"),
+                pa.array(np.zeros(t.num_rows, np.int64)),
+            ],
+            names=["doc_id", "n_windows", "n_dup_windows"],
+        ),
+        batch_format="pyarrow",
+    )
+    return (
+        dup_parts.union(tot_rows)
+        .groupby("doc_id")
+        .aggregate(
+            Sum("n_windows", alias_name="n_windows"),
+            Sum("n_dup_windows", alias_name="n_dup_windows"),
+        )
+    )
+
+
 def passage_stats(
-    ds: "ray.data.Dataset", n: int = 5, min_docs: int = 2
+    ds: "ray.data.Dataset",
+    n: int = 5,
+    min_docs: int = 2,
+    broadcast_limit: int = PASSAGE_BROADCAST_LIMIT,
 ) -> "ray.data.Dataset":
     """Passage-level exact-substring duplication stats (the
     dedup-common-passages analysis of Lee et al., "Deduplicating
@@ -1253,16 +1440,19 @@ def passage_stats(
     in-batch partial count (each doc lives in exactly one row, so batch
     partials sum to exact distinct-doc counts); the groupby shuffle is
     bounded by the number of DISTINCT passages, 8 B each, never the
-    corpus text. Phase 2 broadcasts only the ≥ min_docs survivors (the
-    duplicated-passage set — small unless the corpus is pathologically
-    duplicated; for a dup-heavy web crawl run `exact_dedup` first, and
-    beyond that shard the common set by hash and take the doc_rarity
-    partitioned-merge path) and streams docs through a vectorized
-    searchsorted membership count. Output: (doc_id, n_windows,
-    n_dup_windows)."""
+    corpus text. Phase 2 broadcasts the ≥ min_docs survivors (the
+    duplicated-passage set) when they fit ``broadcast_limit`` and
+    streams docs through a vectorized searchsorted membership count;
+    above the limit it switches to :func:`_passage_stats_sharded`'s
+    hash-partitioned merge, so a pathologically duplicated corpus never
+    forces an oversized broadcast. Output: (doc_id, n_windows,
+    n_dup_windows); doc_id must be integer-valued on the sharded path."""
     import ray
 
-    ref = ray.put(_common_window_set(ds, n, min_docs))
+    common_ds = _common_window_set_ds(ds, n, min_docs)
+    if common_ds.count() > broadcast_limit:
+        return _passage_stats_sharded(ds, common_ds, n)
+    ref = ray.put(_collect_window_set(common_ds))
 
     def annotate(batch: pa.Table) -> pa.Table:
         cs = ray.get(ref)
@@ -1622,8 +1812,180 @@ def inference_buckets(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     )
 
 
+def _passage_dedup_sharded(
+    ds: "ray.data.Dataset", common: "ray.data.Dataset", n: int, doc_buckets: int = 64
+) -> "ray.data.Dataset":
+    """Sharded removal path for common sets too large to broadcast: the
+    corpus emits per-window-OCCURRENCE rows (bucket, whash, doc_id,
+    start position within the doc's token stream); one groupby("bucket")
+    co-partitions them with the common set and keeps only hits as
+    (doc_id, pos) pairs; a second groupby co-partitions hit positions
+    with the TEXT rows on ``doc_id % doc_buckets`` and runs the same
+    fully-vectorized ±1 difference-array excision as the broadcast path
+    across each group. Two extra exchanges — one sized by window
+    occurrences (16 B each), one re-shuffling the corpus text once — the
+    price of a common set that cannot ship to every task."""
+
+    def occ_rows(batch: pa.Table) -> pa.Table:
+        empty = pa.Table.from_arrays(
+            [pa.array([], pa.int8()), pa.array([], pa.int64()),
+             pa.array([], pa.int64()), pa.array([], pa.int64()),
+             pa.array([], pa.int8())],
+            names=["bucket", "whash", "doc_id", "pos", "side"],
+        )
+        if batch.num_rows == 0:
+            return empty
+        toks, parent = _doc_tokens(batch.column("text"))
+        acc, valid, w = _combine_windows(toks, parent, n)
+        if w <= 0 or not valid.any():
+            return empty
+        ids = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        # doc start offsets in the flat token stream → in-doc positions
+        tok_counts = np.bincount(parent, minlength=batch.num_rows)
+        doc_start = np.concatenate(([0], np.cumsum(tok_counts)))[:-1]
+        gidx = np.nonzero(valid)[0]
+        wh = acc[valid]
+        pdoc = parent[gidx]
+        return pa.Table.from_arrays(
+            [
+                pa.array((wh >> np.uint64(58)).astype(np.int8)),
+                pa.array(wh.view(np.int64)),
+                pa.array(ids[pdoc]),
+                pa.array((gidx - doc_start[pdoc]).astype(np.int64)),
+                pa.array(np.ones(len(gidx), np.int8)),
+            ],
+            names=["bucket", "whash", "doc_id", "pos", "side"],
+        )
+
+    def tag_common(batch: pa.Table) -> pa.Table:
+        z = np.zeros(batch.num_rows, np.int64)
+        return pa.Table.from_arrays(
+            [
+                batch.column("bucket"),
+                batch.column("whash"),
+                pa.array(z),
+                pa.array(z),
+                pa.array(np.zeros(batch.num_rows, np.int8)),
+            ],
+            names=["bucket", "whash", "doc_id", "pos", "side"],
+        )
+
+    window_rows = ds.map_batches(occ_rows, batch_format="pyarrow").union(
+        common.map_batches(tag_common, batch_format="pyarrow")
+    )
+
+    def bucket_hits(group: pa.Table) -> pa.Table:
+        side = group.column("side").to_numpy()
+        h = group.column("whash").to_numpy()
+        cs = np.sort(h[side == 0].view(np.uint64))
+        corp = side == 1
+        out = pa.Table.from_arrays(
+            [pa.array([], pa.int64())] * 2, names=["doc_id", "pos"]
+        )
+        ch = h[corp].view(np.uint64)
+        if not len(ch) or not len(cs):
+            return out
+        p = np.searchsorted(cs, ch)
+        hit = (p < len(cs)) & (cs[np.minimum(p, len(cs) - 1)] == ch)
+        if not hit.any():
+            return out
+        return pa.Table.from_arrays(
+            [
+                pa.array(group.column("doc_id").to_numpy()[corp][hit]),
+                pa.array(group.column("pos").to_numpy()[corp][hit]),
+            ],
+            names=["doc_id", "pos"],
+        )
+
+    hits = window_rows.groupby("bucket").map_groups(
+        bucket_hits, batch_format="pyarrow"
+    )
+
+    # co-partition hit positions with the text on doc_id % doc_buckets
+    def text_rows(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch.column("doc_id"), pa.int64())
+        return pa.Table.from_arrays(
+            [
+                pa.array((ids.to_numpy(zero_copy_only=False) % doc_buckets)),
+                ids,
+                pa.array(np.full(batch.num_rows, -1, np.int64)),
+                pc.cast(pc.fill_null(batch.column("text"), ""), pa.string()),
+            ],
+            names=["dbucket", "doc_id", "pos", "text"],
+        )
+
+    def hit_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids % doc_buckets),
+                batch.column("doc_id"),
+                batch.column("pos"),
+                pa.array([""] * batch.num_rows, pa.string()),
+            ],
+            names=["dbucket", "doc_id", "pos", "text"],
+        )
+
+    both = ds.map_batches(text_rows, batch_format="pyarrow").union(
+        hits.map_batches(hit_rows, batch_format="pyarrow")
+    )
+
+    def excise_group(group: pa.Table) -> pa.Table:
+        empty = pa.Table.from_arrays(
+            [pa.array([], pa.int64()), pa.array([], pa.string()), pa.array([], pa.int64())],
+            names=["doc_id", "clean_text", "n_kept_tokens"],
+        )
+        pos_np = group.column("pos").to_numpy()
+        is_text = pos_np < 0
+        texts = group.filter(pa.array(is_text))
+        if texts.num_rows == 0:
+            return empty
+        toks, parent = _doc_tokens(texts.column("text"))
+        L = len(toks)
+        if L == 0:
+            return empty
+        ids = texts.column("doc_id").to_numpy()
+        tok_counts = np.bincount(parent, minlength=texts.num_rows)
+        doc_start = np.concatenate(([0], np.cumsum(tok_counts)))[:-1]
+        covered = np.zeros(L + 1, np.int64)
+        hid = group.column("doc_id").to_numpy()[~is_text]
+        hpos = pos_np[~is_text]
+        if len(hid):
+            # map hit doc_ids → row index in `texts` (both sides carry
+            # exactly this group's docs; searchsorted over the sorted ids)
+            order = np.argsort(ids, kind="stable")
+            ridx = order[np.searchsorted(ids[order], hid)]
+            starts = doc_start[ridx] + hpos
+            np.add.at(covered, starts, 1)
+            np.add.at(covered, starts + n, -1)
+        keep = np.cumsum(covered[:L]) == 0
+        kept_counts = np.bincount(parent[keep], minlength=texts.num_rows)
+        offsets = np.zeros(texts.num_rows + 1, np.int64)
+        np.cumsum(kept_counts, out=offsets[1:])
+        kept_flat = toks.filter(pa.array(keep))
+        lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), kept_flat)
+        joined = pc.binary_join(lists, " ")
+        nonempty = kept_counts > 0
+        idx = pa.array(np.nonzero(nonempty)[0])
+        return pa.Table.from_arrays(
+            [
+                texts.column("doc_id").take(idx),
+                joined.take(idx),
+                pa.array(kept_counts[nonempty].astype(np.int64)),
+            ],
+            names=["doc_id", "clean_text", "n_kept_tokens"],
+        )
+
+    return both.groupby("dbucket").map_groups(excise_group, batch_format="pyarrow")
+
+
 def passage_dedup_corpus(
-    ds: "ray.data.Dataset", n: int = 5, min_docs: int = 2
+    ds: "ray.data.Dataset",
+    n: int = 5,
+    min_docs: int = 2,
+    broadcast_limit: int = PASSAGE_BROADCAST_LIMIT,
 ) -> "ray.data.Dataset":
     """Passage REMOVAL (the transform behind :func:`passage_stats` — Lee
     et al. 2107.06499's dedup applied at word-window granularity): excise
@@ -1633,15 +1995,19 @@ def passage_dedup_corpus(
     duplicated, or empty) emit no row.
 
     Same two scan phases as ``passage_stats`` (distinct-window partials →
-    passage-bounded groupby → broadcast survivors); the removal pass is
+    passage-bounded groupby → broadcast survivors, or the sharded
+    co-partitioned path above ``broadcast_limit``); the removal pass is
     fully vectorized: hit windows paint a ±1 difference array over the
     flat token stream (windows never cross doc boundaries), a cumsum
     turns it into a coverage mask, and the kept tokens re-join per doc
     through one Arrow list-join kernel. Output: (doc_id, clean_text,
-    n_kept_tokens)."""
+    n_kept_tokens); doc_id must be integer-valued on the sharded path."""
     import ray
 
-    ref = ray.put(_common_window_set(ds, n, min_docs))
+    common_ds = _common_window_set_ds(ds, n, min_docs)
+    if common_ds.count() > broadcast_limit:
+        return _passage_dedup_sharded(ds, common_ds, n)
+    ref = ray.put(_collect_window_set(common_ds))
 
     def excise(batch: pa.Table) -> pa.Table:
         cs = ray.get(ref)

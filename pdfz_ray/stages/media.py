@@ -216,10 +216,12 @@ def decode_real_to_png(payload: bytes, rotate90: bool = False) -> tuple:
     ``(png_bytes, out_width, out_height)``.
 
     PNG payloads decode through the pure-stdlib codec
-    (``png_codec.decode_png``) so this branch is executable even without
-    PIL; JPEG and other compressed formats need PIL (the container may
+    (``png_codec.decode_png``) and baseline JPEG through the pure-Python
+    ``jpeg_codec`` (r3 next-round #7 — the DCTDecode path now executes in
+    this container); other compressed formats need PIL (the container may
     lack it — the ``NotImplementedError`` contract is tested either way).
     """
+    from .jpeg_codec import decode_jpeg, is_jpeg
     from .png_codec import decode_png, encode_png, is_png
 
     if is_png(payload):
@@ -227,6 +229,17 @@ def decode_real_to_png(payload: bytes, rotate90: bool = False) -> tuple:
         if rotate90:
             # reference image::rotate90() turns the image CLOCKWISE
             # (mod.rs:156-160); np.rot90 k=-1 matches, dims swap
+            rgba = np.ascontiguousarray(np.rot90(rgba, k=-1))
+        h, w = rgba.shape[:2]
+        return encode_png(rgba), w, h
+    if is_jpeg(payload):
+        px = decode_jpeg(payload)
+        if px.ndim == 2:
+            px = np.repeat(px[:, :, None], 3, axis=2)
+        rgba = np.concatenate(
+            [px, np.full(px.shape[:2] + (1,), 255, np.uint8)], axis=2
+        )
+        if rotate90:
             rgba = np.ascontiguousarray(np.rot90(rgba, k=-1))
         h, w = rgba.shape[:2]
         return encode_png(rgba), w, h

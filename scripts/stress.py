@@ -311,6 +311,37 @@ def round3():
     print(json.dumps({"stress": "round3", "timings": t, "outputs": out}))
 
 
+def passage_sharded():
+    """Passage family forced onto the sharded common-set path (r3
+    next-round #9): the 1M-doc 200-deep dup corpus has a ~240k-hash
+    common set; broadcast_limit=10k pushes both operators through the
+    hash-partitioned merge instead of the driver broadcast."""
+    ray = init_ray()
+    import ray.data as rd
+
+    from pdfz_ray.functions.curation import passage_dedup_corpus, passage_stats
+
+    d = replicate_documents(200, "docs-1m", n_parts=32, preserve_modulus=23)
+
+    def docs():
+        return rd.read_parquet(d, columns=["doc_id", "text"])
+
+    t: dict[str, float] = {}
+    out: dict[str, int] = {}
+    out["stats_rows"] = timed(
+        t,
+        "passage_stats_1m_sharded",
+        lambda: passage_stats(docs(), broadcast_limit=10_000).count(),
+    )
+    out["dedup_rows"] = timed(
+        t,
+        "passage_dedup_1m_sharded",
+        lambda: passage_dedup_corpus(docs(), broadcast_limit=10_000).count(),
+    )
+    ray.shutdown()
+    print(json.dumps({"stress": "passage-sharded-1m", "timings": t, "outputs": out}))
+
+
 def windows1m():
     """1M-event tier for the bucketed window family (VERDICT r3
     next-round #4): sf0.1 events × 10 with unique event_ids and the SAME
@@ -361,4 +392,5 @@ if __name__ == "__main__":
         "rarity": rarity,
         "round3": round3,
         "windows1m": windows1m,
+        "passage_sharded": passage_sharded,
     }[sys.argv[1]]()

@@ -944,3 +944,47 @@ def test_shared_content_hash_feeds_operators(ray_session):
         hash_sample_batch, batch_format="pyarrow", fn_kwargs={"hash_col": "content_hash"}
     )
     assert steered.count() == 0  # bucket 0xffff clears every rate
+
+
+def test_passage_family_sharded_path_matches_broadcast(ray_session):
+    """r3 next-round #9: above broadcast_limit the passage family resolves
+    the common-window set via the hash-partitioned merge instead of a
+    driver broadcast. Forcing broadcast_limit=0 must give byte-identical
+    stats AND removal output to the broadcast path."""
+    import ray.data
+
+    from pdfz_ray.functions.curation import passage_dedup_corpus, passage_stats
+
+    rng = np.random.default_rng(11)
+    base = [" ".join(f"w{rng.integers(30)}" for _ in range(int(rng.integers(4, 30)))) for _ in range(40)]
+    shared = "the quick brown fox jumps over the lazy dog"
+    texts = []
+    for i in range(120):
+        t = base[i % 40]
+        if i % 3 == 0:
+            t = t + " " + shared  # common passage in every 3rd doc
+        if i % 7 == 0:
+            t = shared + " " + t  # and leading in every 7th
+        texts.append(t)
+    tbl = pa.Table.from_arrays(
+        [pa.array(range(120), pa.int64()), pa.array(texts)],
+        names=["doc_id", "text"],
+    )
+
+    def mk():
+        return ray.data.from_arrow(tbl).repartition(6)
+
+    def rows(ds):
+        df = ds.to_pandas()
+        cols = sorted(df.columns)
+        return sorted(map(tuple, df[cols].astype(str).values.tolist()))
+
+    a = rows(passage_stats(mk(), n=5, min_docs=2))
+    b = rows(passage_stats(mk(), n=5, min_docs=2, broadcast_limit=0))
+    assert a == b and len(a) > 0
+    # sanity: the shared passage is detected as dup somewhere
+    assert any(int(r[2]) > 0 for r in a)  # cols sorted: doc_id, n_dup, n_win
+
+    c = rows(passage_dedup_corpus(mk(), n=5, min_docs=2))
+    d = rows(passage_dedup_corpus(mk(), n=5, min_docs=2, broadcast_limit=0))
+    assert c == d and len(c) > 0

@@ -138,34 +138,71 @@ def test_decode_real_image_raises_without_codecs():
 
     with pytest.raises(NotImplementedError):
         decode_real_image(b"\xff\xd8\xff")
+    # PNG and JPEG now decode natively; OTHER formats still gate on PIL
     with pytest.raises(NotImplementedError):
-        decode_real_to_png(b"\xff\xd8\xff")
+        decode_real_to_png(b"II*\x00not-a-supported-codec")
 
 
-@pytest.mark.skipif(not _has_pil(), reason="image codecs unavailable")
 def test_decode_real_jpeg_roundtrip():
     """Reference semantics (extractor/src/engine/mod.rs:142-162): JPEG →
-    RGBA → PNG, with the flate path's rotate90 swapping dimensions."""
-    import io
+    RGBA → PNG, with the flate path's rotate90 swapping dimensions. Runs
+    WITHOUT PIL: the fixture is built by the pure-Python baseline
+    encoder and decoded through decode_real_to_png's jpeg_codec branch
+    (r3 next-round #7 — this was the 1 skipped test)."""
+    import numpy as np
 
-    import PIL.Image as Image
+    from pdfz_ray.stages.jpeg_codec import encode_jpeg
+    from pdfz_ray.stages.media import decode_real_to_png
+    from pdfz_ray.stages.png_codec import decode_png
 
-    from pdfz_ray.stages.media import decode_real_image, decode_real_to_png
-
-    src = Image.new("RGB", (6, 4), (200, 10, 10))
-    buf = io.BytesIO()
-    src.save(buf, format="JPEG")
-    jpeg = buf.getvalue()
-
-    img = decode_real_image(jpeg)
-    assert img.size == (6, 4)
+    src = np.full((4, 6, 3), (200, 10, 10), np.uint8)
+    jpeg = encode_jpeg(src, quality=95)
 
     png, w, h = decode_real_to_png(jpeg)
     assert (w, h) == (6, 4)
-    assert Image.open(io.BytesIO(png)).mode == "RGBA"
+    rgba = decode_png(png)
+    assert rgba.shape == (4, 6, 4)
+    assert (rgba[..., 3] == 255).all()
+    # flat color survives the lossy round-trip exactly at q95
+    assert np.abs(rgba[..., :3].astype(int) - src.astype(int)).max() <= 1
 
     png_r, w_r, h_r = decode_real_to_png(jpeg, rotate90=True)
     assert (w_r, h_r) == (4, 6)  # rotate90 swaps dims (mod.rs:156-160)
+    rgba_r = decode_png(png_r)
+    # clockwise rotation: first output row = first input column bottom-up
+    assert np.array_equal(rgba_r[..., :3], np.rot90(rgba[..., :3], k=-1))
+
+
+def test_jpeg_codec_roundtrip_gradients_and_gray():
+    """Codec-level contract: smooth content round-trips within ±1 at q95,
+    grayscale decodes to 2-D, dimensions never change, and malformed or
+    unsupported streams raise ValueError (never garbage)."""
+    import numpy as np
+
+    from pdfz_ray.stages.jpeg_codec import decode_jpeg, encode_jpeg, is_jpeg
+
+    grad = (
+        (np.add.outer(np.arange(16) * 8, np.arange(24) * 5)[:, :, None] % 256)
+        .astype(np.uint8)
+        .repeat(3, 2)
+    )
+    enc = encode_jpeg(grad, quality=95)
+    assert is_jpeg(enc)
+    dec = decode_jpeg(enc)
+    assert dec.shape == grad.shape
+    assert np.abs(dec.astype(int) - grad.astype(int)).max() <= 1
+
+    gray = (np.add.outer(np.arange(9) * 11, np.arange(13) * 7) % 256).astype(
+        np.uint8
+    )
+    dg = decode_jpeg(encode_jpeg(gray, quality=95))
+    assert dg.shape == gray.shape and dg.ndim == 2
+    assert np.abs(dg.astype(int) - gray.astype(int)).max() <= 1
+
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x89PNG\r\n")
+    with pytest.raises((ValueError, IndexError)):
+        decode_jpeg(b"\xff\xd8\xff\xdb\x00\x03\x00")  # truncated DQT
 
 
 # ---------------------------------------------------------------------------
