@@ -13,6 +13,11 @@ Env:
 --scaling: runs the bench twice in fresh processes (8 and 32 CPUs) on the
 same input and reports both throughputs + scaling efficiency (the sandbox
 substitute for the N vs 4N node criterion — see BASELINE.md).
+
+--scaling-protocol: the BASELINE.md measurement protocol — repeats the
+8→32 and 4→16 pairs until 4 runs per pair are healthy (every kept
+extract trial passed the calibration-burn gate on both legs) and prints
+every run plus the MEDIAN efficiency over healthy runs.
 """
 
 from __future__ import annotations
@@ -132,18 +137,58 @@ def run_bench(sf_dir: str, num_cpus: int, n_docs: int, replicas: int) -> dict:
     out_dir = os.path.join(SHM_ROOT, f"out-{num_cpus}")
     import shutil
 
+    # Burn-gated trials (VERDICT r3 next-round #1): each trial is
+    # bracketed by single-core calibration burns; a burn above
+    # BENCH_BURN_GATE marks a stolen-host window (shared VM) and the
+    # trial is DISCARDED and re-run (bounded attempts), so the recorded
+    # trials measure the pipeline, not the neighbor's workload. Kept
+    # trials, their burns, and the discard count all land in the JSON.
+    n_trials = int(os.environ.get("BENCH_EXTRACT_TRIALS", "3"))
+    burn_gate = float(os.environ.get("BENCH_BURN_GATE", "0.35"))
+    max_attempts = n_trials * 3
+
+    # UNTIMED warmups. (a) One-shard extract: the trivial pool pre-spin
+    # above does not make workers import the pipeline modules — the
+    # first real extract used to pay ~20 s of per-worker import/JIT and
+    # inflate the trial spread (r3: [103, 48]). (b) Full-corpus read:
+    # plasma allocates object-store pages lazily, so the first trial
+    # otherwise pays the zero-fill for ~6 GB of fresh store memory.
+    warm_dir = os.path.join(SHM_ROOT, f"warm-{num_cpus}")
+    extract_to_dir(corpus[:1], warm_dir, ocr=True, batch_size=2048)
+    shutil.rmtree(warm_dir, ignore_errors=True)
+    rd.read_parquet(corpus).map_batches(
+        lambda t: t.slice(0, 1), batch_format="pyarrow"
+    ).count()
     extract_trials: list[float] = []
     calib: list[float] = []
-    for _ in range(int(os.environ.get("BENCH_EXTRACT_TRIALS", "2"))):
+    discarded_trials: list[float] = []
+    discarded_burns: list[float] = []
+    attempts = 0
+    while len(extract_trials) < n_trials and attempts < max_attempts:
+        attempts += 1
         shutil.rmtree(out_dir, ignore_errors=True)
-        calib.append(_burn())
+        b0 = _burn()
+        if b0 > burn_gate:
+            discarded_burns.append(b0)
+            time.sleep(3)  # let the steal window pass before retrying
+            continue
         t0 = time.perf_counter()
         # OCR runs in task mode (per-worker engine cache): an actor pool
         # would fuse the whole read→extract chain onto its reserved CPUs
         # and cap parallelism at the pool size (measured 3× slower here).
         extract_to_dir(corpus, out_dir, ocr=True, batch_size=2048)
-        extract_trials.append(round(time.perf_counter() - t0, 3))
-    calib.append(_burn())
+        dt = round(time.perf_counter() - t0, 3)
+        b1 = _burn()
+        if b1 > burn_gate:
+            discarded_trials.append(dt)
+            discarded_burns.append(b1)
+            continue
+        extract_trials.append(dt)
+        calib.extend([b0, b1])
+    if not extract_trials:
+        # every attempt hit a stolen window — report the discarded trials
+        # honestly rather than dying (the JSON marks them as unhealthy)
+        extract_trials = discarded_trials or [float("nan")]
     timings["extract"] = min(extract_trials)
 
     # untimed: docs/pages for throughput from the narrow metric columns
@@ -288,11 +333,15 @@ def run_bench(sf_dir: str, num_cpus: int, n_docs: int, replicas: int) -> dict:
         "pages": pages,
         "docs_per_sec": round(docs_done / timings["extract"], 2),
         "pages_per_sec": round(pages / timings["extract"], 2),
-        # per-trial extract wall times (best is the headline) and the
-        # single-core calibration burns bracketing them: a burn well above
-        # ~0.25 s marks a stolen-host window (shared VM, see BASELINE.md)
+        # kept (healthy-burn) extract trials — best is the headline — plus
+        # the burns that bracketed them; discarded_* records trials/burns
+        # rejected by the gate so host-steal windows are visible, not
+        # silently folded into the spread (see BASELINE.md protocol)
         "extract_trials_sec": extract_trials,
         "calibration_burn_sec": calib,
+        "burn_gate_sec": burn_gate,
+        "discarded_trials_sec": discarded_trials,
+        "discarded_burns_sec": discarded_burns,
         "poly64_kernel_speedup_vs_r1_loop": kernel_speedup,
     }
 
@@ -351,8 +400,68 @@ def run_scaling(sf_dir: str, n_docs: int, replicas: int, lo: int = 8, hi: int = 
         # trusting a low efficiency number
         "calibration_burn_sec_lo": r_lo.get("calibration_burn_sec", []),
         "calibration_burn_sec_hi": r_hi.get("calibration_burn_sec", []),
+        "discarded_lo": len(r_lo.get("discarded_burns_sec", [])),
+        "discarded_hi": len(r_hi.get("discarded_burns_sec", [])),
+        # healthy = both legs kept >= 1 burn-gated trial (the in-process
+        # gate guarantees kept burns < gate; an empty calib list means the
+        # leg fell back to discarded trials — an unhealthy run)
+        "healthy": bool(r_lo.get("calibration_burn_sec"))
+        and bool(r_hi.get("calibration_burn_sec")),
         "scaling_efficiency": round(eff, 3),
     }
+
+
+def run_scaling_protocol(
+    sf_dir: str,
+    n_docs: int,
+    replicas: int,
+    pairs: tuple = ((8, 32), (4, 16)),
+    n_healthy: int = 4,
+    max_runs_per_pair: int = 7,
+) -> dict:
+    """The stated scaling-measurement protocol (VERDICT r3 next-round #2):
+    repeat each lo→hi pair until ``n_healthy`` runs are healthy — every
+    kept extract trial on BOTH legs passed the calibration-burn gate —
+    and report each run plus the MEDIAN efficiency over the healthy ones
+    (never a best-of-day composite). Unhealthy runs stay on the record,
+    flagged, excluded from the median."""
+    import statistics
+
+    out: dict = {
+        "metric": "scaling efficiency protocol (median over healthy runs)",
+        "burn_gate_sec": float(os.environ.get("BENCH_BURN_GATE", "0.35")),
+        "n_healthy_target": n_healthy,
+        "pairs": {},
+    }
+    ensure_bench_corpus(n_docs, replicas)
+    for lo, hi in pairs:
+        runs: list[dict] = []
+        n_ok = 0
+        while n_ok < n_healthy and len(runs) < max_runs_per_pair:
+            r = run_scaling(sf_dir, n_docs, replicas, lo, hi)
+            rec = {
+                "efficiency": r["scaling_efficiency"],
+                "pages_per_sec_lo": r["pages_per_sec_lo"],
+                "pages_per_sec_hi": r["pages_per_sec_hi"],
+                "sec_lo": r["sec_lo"],
+                "sec_hi": r["sec_hi"],
+                "burns_lo": r["calibration_burn_sec_lo"],
+                "burns_hi": r["calibration_burn_sec_hi"],
+                "discards": [r["discarded_lo"], r["discarded_hi"]],
+                "healthy": r["healthy"],
+            }
+            runs.append(rec)
+            n_ok += int(rec["healthy"])
+            print(json.dumps({"pair": f"{lo}->{hi}", **rec}), file=sys.stderr)
+        effs = sorted(x["efficiency"] for x in runs if x["healthy"])
+        out["pairs"][f"{lo}->{hi}"] = {
+            "runs": runs,
+            "n_healthy": len(effs),
+            "median_efficiency_healthy": (
+                round(statistics.median(effs), 3) if effs else None
+            ),
+        }
+    return out
 
 
 if __name__ == "__main__":
@@ -360,7 +469,14 @@ if __name__ == "__main__":
     ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     n_docs = int(os.environ.get("BENCH_DOCS", "60000"))
     replicas = int(os.environ.get("BENCH_REPLICAS", "150"))
-    if "--scaling" in sys.argv:
+    if "--scaling-protocol" in sys.argv:
+        n_h = int(os.environ.get("BENCH_PROTOCOL_HEALTHY", "4"))
+        print(
+            json.dumps(
+                run_scaling_protocol(sf_dir, n_docs, replicas, n_healthy=n_h)
+            )
+        )
+    elif "--scaling" in sys.argv:
         lo = int(os.environ.get("BENCH_SCALING_LO", "8"))
         hi = int(os.environ.get("BENCH_SCALING_HI", "32"))
         print(json.dumps(run_scaling(sf_dir, n_docs, replicas, lo, hi)))
