@@ -696,30 +696,63 @@ def test_passage_dedup_corpus_excises_common_windows(ray_session):
     assert got[3] == ("tiny doc", 2)
 
 
-def test_query_window_holds_round3_entries():
+def test_query_window_holds_round4_entries():
     """Regression guard for the correctness driver's 50-entry window: every
-    round-3 operator (and the two scale-path variants promoted this round)
-    must sit INSIDE the first 50 queries() entries."""
+    operator whose internals changed in round 4 (window-hash mixer, shared
+    content-hash, bucketed windows, escaped HTML corpus) AND every entry
+    rotated in from the r3 tail must sit INSIDE the first 50 queries()
+    entries, so each has a driver-green row within rounds 3-4."""
     import __ray_entry__ as e
 
     keys = list(e.queries())
     window = set(keys[:50])
-    for name in [
+    changed_r4 = [
         "html_main_content",
         "html_extract_tokens",
-        "image_resize",
         "passage_stats",
         "passage_dedup",
         "mixture_plan",
         "mixture_materialize",
         "dedup_against",
         "shuffle_rank",
-        "inference_buckets",
-        "quality_gate_by_lang",
-        "knn_ivf",
-        "doc_rarity_capped",
-    ]:
+        "hash_sample",
+        "split_assign_grouped",
+        "sessionize",
+        "sessionize_bucketed",
+        "running_event_counts",
+        "asof_join",
+    ]
+    rotated_in = [
+        "distinct_users_by_type",
+        "seen_probe",
+        "top_users_by_type",
+        "sliding_event_counts",
+        "orders_price_bands",
+        "approx_distinct_users",
+        "customers_without_orders",
+        "orders_by_segment_hashjoin",
+        "top_terms",
+        "heavy_hitters",
+        "lineitem_pricing",
+        "orders_by_nation",
+        "text_stats",
+        "quality_filter",
+        "token_count",
+        "fingerprint",
+        "rolling_fingerprint",
+        "winnow_fingerprints",
+        "normalize_text",
+        "text_embed",
+        "text_embed_fingerprint",
+        "lang_id",
+        "lang_distribution",
+        "frame_sample",
+        "audio_energy",
+    ]
+    for name in changed_r4 + rotated_in:
         assert name in window, f"{name} fell out of the driver window"
+    # and nothing was lost in the rotation: 76 entries, no duplicates
+    assert len(keys) == len(set(keys)) == 76
 
 
 def test_common_window_set_restores_shuffle_flag(ray_session):
