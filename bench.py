@@ -203,6 +203,31 @@ def run_bench(sf_dir: str, num_cpus: int, n_docs: int, replicas: int) -> dict:
     pages = int(pc.sum(mt.column("pages")).as_py() or 0)
     shutil.rmtree(out_dir, ignore_errors=True)  # free the tmpfs footprint
 
+    # extract-only mode for --scaling-protocol legs: the scaling metric
+    # uses only the extract pipeline; skipping the per-op suite halves a
+    # low-CPU leg's wall time without touching what is measured
+    if os.environ.get("BENCH_EXTRACT_ONLY"):
+        ray.shutdown()
+        total = round(sum(timings.values()), 3)
+        return {
+            "metric": "pdfz_ray extract pipeline (extract-only mode)",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": os.path.basename(os.path.normpath(sf_dir)),
+            "num_cpus": num_cpus,
+            "bench_docs": n_docs * replicas,
+            "docs_done": docs_done,
+            "pages": pages,
+            "docs_per_sec": round(docs_done / timings["extract"], 2),
+            "pages_per_sec": round(pages / timings["extract"], 2),
+            "extract_trials_sec": extract_trials,
+            "calibration_burn_sec": calib,
+            "burn_gate_sec": burn_gate,
+            "discarded_trials_sec": discarded_trials,
+            "discarded_burns_sec": discarded_burns,
+        }
+
     # 2) exact dedup over the driver documents table
     from pdfz_ray.functions.dedup import exact_dedup_docs, minhash_lsh_pairs
 
