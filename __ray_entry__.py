@@ -384,6 +384,32 @@ def _q_embedding_neardup(sf_dir: str):
     return embedding_neardup_pairs(_embeddings(sf_dir), threshold=0.45)
 
 
+def _q_chunk_docs(sf_dir: str):
+    from pdfz_ray.functions.prep import chunk_documents
+
+    out = chunk_documents(_docs_table(sf_dir), chunk_tokens=64, stride=48)
+    df = out.to_pandas()
+    return df.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+
+
+def _q_bigram_top(sf_dir: str):
+    from pdfz_ray.functions.prep import bigram_top
+
+    return bigram_top(sf_dir, k=20)
+
+
+def _q_tfidf_topk(sf_dir: str):
+    from pdfz_ray.functions.prep import tfidf_topk
+
+    return tfidf_topk(sf_dir, k=3)
+
+
+def _q_semantic_dedup(sf_dir: str):
+    from pdfz_ray.functions.dedup import semantic_dedup
+
+    return semantic_dedup(_embeddings(sf_dir), n_clusters=8, threshold=0.45)
+
+
 def _q_knn_brute(sf_dir: str):
     from pdfz_ray.functions.similarity import knn_brute, load_query_matrix
 
@@ -961,6 +987,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh": _q_knn_lsh,
         "knn_pq": _q_knn_pq,
         "knn_ivf": _q_knn_ivf,
+        # round-4 additions (tail: brand-new ops have no prior driver row
+        # to preserve; the r4 window above carries this round's changed +
+        # rotated-in operators per the rotation plan)
+        "chunk_docs": _q_chunk_docs,
+        "bigram_top": _q_bigram_top,
+        "tfidf_topk": _q_tfidf_topk,
+        "semantic_dedup": _q_semantic_dedup,
     }
 
 
@@ -1885,4 +1918,51 @@ FROM media_ok
         SELECT 'absent-probe-' || CAST(i AS VARCHAR), false
         FROM generate_series(0, 99) t(i)
     """
+    # round-4: RAG token-window chunker — every start < n_tokens produces
+    # a chunk (generate_series(0, n-1, stride)); tokens = \S+ runs
+    sqls["chunk_docs"] = r"""
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(coalesce(text, ''), '\S+') AS tk
+          FROM documents),
+        base AS (SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0),
+        starts AS (
+          SELECT doc_id, tk, n, unnest(generate_series(0, n - 1, 48)) AS s
+          FROM base)
+        SELECT doc_id, CAST(s / 48 AS BIGINT) AS chunk_id,
+               array_to_string(tk[s + 1 : least(s + 64, n)], ' ') AS chunk_text,
+               CAST(least(s + 64, n) - s AS BIGINT) AS n_tokens
+        FROM starts ORDER BY doc_id, chunk_id
+    """
+    # round-4: corpus bigram collocations (adjacent lowercased \S+ tokens)
+    sqls["bigram_top"] = r"""
+        WITH toks AS (
+          SELECT regexp_extract_all(lower(coalesce(text, '')), '\S+') AS tk
+          FROM documents),
+        g AS (SELECT array_to_string(tk[s : s + 1], ' ') AS bigram
+              FROM (SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS s
+                    FROM toks))
+        SELECT bigram, count(*) AS n FROM g
+        GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
+    """
+    # round-4: per-doc top-3 TF-IDF terms; rank by the IEEE-exact double
+    # quotient tf/df (monotone in tf·idf for fixed N), term tie-break
+    sqls["tfidf_topk"] = r"""
+        WITH t AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(coalesce(text, '')), '\S+')) AS term
+          FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+        df AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY term),
+        s AS (SELECT tf.doc_id, tf.term, tf.tf AS tf, df.df AS df,
+                     row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.term
+                     ) AS rn
+              FROM tf JOIN df USING (term))
+        SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+        FROM s WHERE rn <= 3 ORDER BY doc_id, term
+    """
+    # semantic_dedup (SemDeDup): k-means cluster state is not
+    # SQL-expressible — rows-only by design; correctness pinned by pytest
+    # (n_clusters=1 == exact brute-force min-id rule, determinism,
+    # clustered-dropped ⊆ exact-dropped, full row coverage)
     return sqls

@@ -1131,3 +1131,87 @@ def embedding_neardup_pairs(
         (out.column("vec_id_b").to_numpy(), out.column("vec_id_a").to_numpy())
     )
     return out.take(pa.array(order))
+
+
+def semantic_dedup(
+    ds: "ray.data.Dataset",
+    n_clusters: int = 8,
+    threshold: float = 0.90,
+    train_sample: int = 4096,
+    seed: int = 42,
+) -> pa.Table:
+    """SemDeDup-style semantic deduplication (Abbas et al.,
+    arXiv:2303.09540): cluster embeddings with seeded spherical k-means,
+    then mark WITHIN each cluster every vector that has a lower-id
+    neighbor at cosine ≥ threshold — the same deterministic min-id-keeps
+    rule as the text near-dup family. Complexity drops from O(n²) to
+    Σ|cluster|², the whole point of the method at 10^8+ vectors.
+
+    Plan shape (all data-plane):
+      * centroids: bounded ``limit(train_sample)`` driver fit (reuses
+        ``similarity._kmeans_fit``), broadcast once via the task closure;
+      * assign: narrow ``map_batches`` argmax over the centroid matrix;
+      * per-cluster dedup: ``groupby(cluster).map_groups`` — one
+        normalized matmul per cluster, strictly-lower-triangular mask, so
+        "dropped" = any earlier-id neighbor ≥ threshold.
+
+    Scale notes: cluster populations bound the matmul (at 100 TB run with
+    n_clusters ~ n/1e4 as the paper does, and sub-shard any cluster above
+    a size cap with the LSH-bucket path); the groupby shuffles (vec_id,
+    cluster, embedding) once. Returns (vec_id, cluster, dropped) for every
+    input row, sorted by vec_id. Not SQL-expressible (k-means state) —
+    correctness is pinned by pytest: n_clusters=1 equals the exact
+    brute-force rule, plus determinism and full-coverage invariants.
+    """
+    from pdfz_ray.functions.similarity import _kmeans_fit, _normalize, _to_matrix
+
+    sample_rows = ds.select_columns(["embedding"]).limit(train_sample).take_all()
+    sample = np.stack(
+        [np.asarray(r["embedding"], np.float64) for r in sample_rows]
+    )
+    centroids = _kmeans_fit(sample, n_clusters, seed=seed)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        x = _normalize(_to_matrix(batch))
+        cl = (
+            np.argmax(x @ centroids.T, axis=1).astype(np.int64)
+            if len(x)
+            else np.zeros(0, np.int64)
+        )
+        return pa.Table.from_arrays(
+            [
+                batch.column("vec_id"),
+                pa.array(cl),
+                batch.column("embedding"),
+            ],
+            names=["vec_id", "cluster", "embedding"],
+        )
+
+    def dedup_group(g) -> "pa.Table":
+        import pandas as pd
+
+        ids = g["vec_id"].to_numpy(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        x = np.stack([np.asarray(v, np.float64) for v in g["embedding"].to_numpy()])
+        x = _normalize(x)[order]
+        sims = np.tril(x @ x.T, k=-1)
+        dropped = (sims >= threshold).any(axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cluster": np.repeat(g["cluster"].iloc[0], len(ids)),
+                "dropped": dropped,
+            }
+        )
+
+    out = (
+        ds.select_columns(["vec_id", "embedding"])
+        .map_batches(assign, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(dedup_group, batch_format="pandas")
+        .to_pandas()
+    )
+    out = out.sort_values("vec_id").reset_index(drop=True)
+    out["cluster"] = out["cluster"].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -1,0 +1,280 @@
+"""Training-data preparation operators: RAG/context chunking, collocation
+statistics, and per-document TF-IDF keyword extraction.
+
+These close the remaining gaps a pretraining/RAG data pipeline hits after
+curation: splitting long documents into overlapping token windows for
+context construction, corpus-level bigram collocations for tokenizer /
+quality analysis, and per-doc salient-term extraction (TF-IDF) for
+indexing and topic routing. All three follow this repo's standing rules:
+vectorized Arrow/numpy kernels inside ``map_batches`` (no per-row Python
+in hot paths), per-batch pre-aggregation before any ``groupby`` so only
+distinct-key partials shuffle, and DuckDB-twin-exact token semantics
+(tokens = RE2 ``\\S+`` runs, the same convention as
+``functions/curation.ngram_arrays`` / ``functions/analytics.top_terms``).
+
+Reference parity note: the reference repo (codad5/pdfz) has no analogous
+operators — these belong to the "operations a large-scale training-data
+pipeline needs" surface, next to the dedup / decontamination / packing
+family in ``functions/curation.py``.
+"""
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+if TYPE_CHECKING:
+    import ray.data
+
+# tokens = \S+ runs — identical to the DuckDB oracles'
+# regexp_extract_all(text, '\S+') (RE2 on both sides, ASCII \s)
+_TOKEN_SPLIT = r"\s+"
+_TRIM = r"^\s+|\s+$"
+
+
+def _split_tokens(text_col) -> pa.ListArray:
+    """fill_null + trim + \\s+ split → list<utf8>. A doc that is empty (or
+    all-whitespace) after trim splits to a single "" token; callers mask
+    those docs out to match the SQL ``regexp_extract_all`` convention
+    (which yields an empty list instead)."""
+    text = pc.fill_null(text_col, "")
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    trimmed = pc.replace_substring_regex(text, pattern=_TRIM, replacement="")
+    toks = pc.split_pattern_regex(trimmed, pattern=_TOKEN_SPLIT)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    return toks
+
+
+def chunk_documents_batch(
+    batch: pa.Table, chunk_tokens: int = 64, stride: int = 48
+) -> pa.Table:
+    """Split each document into overlapping token windows — the RAG /
+    long-context chunker. Chunk c of a doc with n tokens covers tokens
+    ``[c*stride, min(c*stride + chunk_tokens, n))``; every start < n
+    produces a chunk (``generate_series(0, n-1, stride)`` in the SQL
+    twin), and docs with zero tokens produce none.
+
+    Vectorized: one regex split per batch, chunk starts/ends via numpy
+    repeat/arange arithmetic, chunk text sliced from the space-normalized
+    document string by precomputed character offsets (one C-level slice
+    per chunk — no tokenizer or join runs per chunk).
+
+    Emits (doc_id, chunk_id, chunk_text, n_tokens). Scale note: purely
+    narrow (no shuffle); output rows ≈ input tokens / stride, so
+    downstream block size should expect the ~chunk_tokens/stride-times
+    row expansion.
+    """
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    out_names = ["doc_id", "chunk_id", "chunk_text", "n_tokens"]
+    empty = pa.Table.from_arrays(
+        [
+            pa.array([], batch.schema.field("doc_id").type),
+            pa.array([], pa.int64()),
+            pa.array([], pa.string()),
+            pa.array([], pa.int64()),
+        ],
+        names=out_names,
+    )
+    if batch.num_rows == 0:
+        return empty
+    toks = _split_tokens(batch.column("text"))
+    # normalized doc string: tokens joined by single spaces; chunk text is
+    # a contiguous character range of this string
+    norm = pc.binary_join(toks, " ")
+    n_tok = pc.list_value_length(toks).to_numpy().astype(np.int64)
+    # all-whitespace docs split to [""] — treat as 0 tokens (SQL: empty list)
+    is_empty = pc.equal(norm, "").to_numpy(zero_copy_only=False)
+    n_tok = np.where(is_empty, 0, n_tok)
+    n_chunks = (n_tok + stride - 1) // stride  # ceil(n/stride); 0 stays 0
+    total = int(n_chunks.sum())
+    if total == 0:
+        return empty
+    doc_idx = np.repeat(np.arange(len(n_tok)), n_chunks)
+    # chunk ordinal within its doc: global arange minus each doc's base
+    base = np.concatenate(([0], np.cumsum(n_chunks)))[:-1]
+    chunk_id = np.arange(total) - np.repeat(base, n_chunks)
+    start_tok = chunk_id * stride
+    end_tok = np.minimum(start_tok + chunk_tokens, n_tok[doc_idx])
+    # character offset of token k's start within its doc's normalized
+    # string: prefix sum of (token_char_len + 1), reset per doc
+    flat = toks.flatten()
+    tok_len = pc.utf8_length(flat).to_numpy().astype(np.int64)
+    cum = np.concatenate(([0], np.cumsum(tok_len + 1)))  # global, +1 per space
+    tok_base = np.concatenate(([0], np.cumsum(pc.list_value_length(toks).to_numpy().astype(np.int64))))[:-1]
+    # char position of token t (doc-local) = cum[tok_base[d] + t] - cum[tok_base[d]]
+    gb = tok_base[doc_idx]
+    c_start = cum[gb + start_tok] - cum[gb]
+    c_end = cum[gb + end_tok] - cum[gb] - 1  # drop the trailing joiner space
+    norm_py = norm.to_pylist()
+    chunk_text = [
+        norm_py[d][s:e] for d, s, e in zip(doc_idx, c_start, c_end)
+    ]
+    return pa.Table.from_arrays(
+        [
+            batch.column("doc_id").take(pa.array(doc_idx)),
+            pa.array(chunk_id, pa.int64()),
+            pa.array(chunk_text, pa.string()),
+            pa.array((end_tok - start_tok).astype(np.int64)),
+        ],
+        names=out_names,
+    )
+
+
+def chunk_documents(
+    ds: "ray.data.Dataset", chunk_tokens: int = 64, stride: int = 48
+) -> "ray.data.Dataset":
+    """Dataset-level chunker: narrow ``map_batches`` over (doc_id, text)."""
+    return ds.map_batches(
+        lambda b: chunk_documents_batch(b, chunk_tokens, stride),
+        batch_format="pyarrow",
+    )
+
+
+def bigram_top(sf_dir: str, k: int = 20) -> "pa.Table":
+    """Corpus-wide top-k bigram collocations — the classic wide count with
+    per-batch pre-aggregation: each batch emits (bigram, n) partials from
+    one np.unique over vectorized adjacent-token joins (reusing
+    :func:`pdfz_ray.functions.curation.ngram_arrays` with n=2 over
+    lowercased text), so the groupby shuffles distinct-bigram partials
+    bounded by per-block vocabulary — never token streams. Driver sorts
+    only the (small) aggregated table. Same shape as
+    ``analytics.top_terms``; ties break lexicographically."""
+    from pdfz_ray.functions.curation import ngram_arrays
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"], override_num_blocks=8
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.string()), pa.array([], pa.int64())],
+                names=["bigram", "n"],
+            )
+        low = pc.utf8_lower(batch.column("text"))
+        grams, _ = ngram_arrays(low, n=2)
+        terms, counts = np.unique(np.asarray(grams), return_counts=True)
+        return pa.Table.from_arrays(
+            [
+                pa.array(terms.astype(object), pa.string()),
+                pa.array(counts.astype(np.int64)),
+            ],
+            names=["bigram", "n"],
+        )
+
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    agg = partials.groupby("bigram").aggregate(Sum("n", alias_name="n")).to_pandas()
+    agg = agg.sort_values(["n", "bigram"], ascending=[False, True]).head(k)
+    return agg.reset_index(drop=True)
+
+
+def _doc_term_counts(batch: pa.Table):
+    """Per-doc term counts for one batch → (doc_ids_rep, terms, tf) numpy
+    arrays, via one lowercased split + a C-level pandas hash groupby.
+    Every term of a document is in-batch by construction (a doc is one
+    row), so per-doc aggregates never cross batches."""
+    import pandas as pd
+
+    toks = _split_tokens(pc.utf8_lower(batch.column("text")))
+    flat = toks.flatten()
+    keep = pc.not_equal(flat, "")  # all-whitespace docs' "" artifact
+    parent = pc.list_parent_indices(toks).to_numpy().astype(np.int64)
+    flat_np = np.asarray(flat.filter(keep))
+    parent = parent[keep.to_numpy(zero_copy_only=False)]
+    doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    g = (
+        pd.DataFrame({"doc_id": doc_ids[parent], "term": flat_np})
+        .groupby(["doc_id", "term"], sort=False)
+        .size()
+        .reset_index(name="tf")
+    )
+    return g
+
+
+def tfidf_topk(sf_dir: str, k: int = 3) -> "pa.Table":
+    """Per-document top-k TF-IDF terms — salient-keyword extraction for
+    indexing / topic routing. Two passes, both pre-aggregated:
+
+    1. document frequency: each batch emits per-doc-DISTINCT (term, 1)
+       partials, a ``groupby(term).sum`` shuffles distinct-term rows, and
+       the vocabulary-sized df table broadcasts via ``ray.put`` (same
+       broadcast-bounded-by-vocab contract as ``curation.doc_rarity``,
+       which also documents the df-capped fallback for 10^9-term corpora).
+    2. scoring: each batch computes per-doc tf in one pandas hash groupby,
+       maps df with a vectorized merge against the broadcast table, and
+       takes the doc-local top-k by (tf/df DESC, term ASC) — valid without
+       a shuffle because a document's terms never span batches.
+
+    Ranking uses the float64 quotient tf/df (monotone in tf·idf for fixed
+    corpus size N) — IEEE division is bit-identical between numpy and the
+    DuckDB twin's ``CAST(tf AS DOUBLE)/df``, and the term tie-break makes
+    ordering total. Emits (doc_id, term, tf, df), sorted by (doc_id, term).
+    """
+    import pandas as pd
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        override_num_blocks=8,
+    )
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        g = _doc_term_counts(batch)
+        terms, counts = np.unique(g["term"].to_numpy(), return_counts=True)
+        return pa.Table.from_arrays(
+            [
+                pa.array(terms.astype(object), pa.string()),
+                pa.array(counts.astype(np.int64)),
+            ],
+            names=["term", "df"],
+        )
+
+    from ray.data.aggregate import Sum
+
+    df_tbl = (
+        ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"))
+        .to_pandas()
+    )
+    df_ref = ray.put(df_tbl)
+
+    def score(batch: pa.Table) -> pa.Table:
+        df_map = ray.get(df_ref)
+        g = _doc_term_counts(batch)
+        if not len(g):
+            return pa.Table.from_arrays(
+                [
+                    pa.array([], pa.int64()),
+                    pa.array([], pa.string()),
+                    pa.array([], pa.int64()),
+                    pa.array([], pa.int64()),
+                ],
+                names=["doc_id", "term", "tf", "df"],
+            )
+        m = g.merge(df_map, on="term", how="left")
+        m["score"] = m["tf"].to_numpy(np.float64) / m["df"].to_numpy(np.float64)
+        # doc-local top-k: stable lexsort on (doc, -score, term)
+        m = m.sort_values(
+            ["doc_id", "score", "term"], ascending=[True, False, True]
+        )
+        m = m[m.groupby("doc_id", sort=False).cumcount() < k]
+        return pa.Table.from_pandas(
+            m[["doc_id", "term", "tf", "df"]].astype(
+                {"tf": np.int64, "df": np.int64}
+            ),
+            preserve_index=False,
+        )
+
+    out = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    out = out.sort_values(["doc_id", "term"]).reset_index(drop=True)
+    return out

@@ -751,8 +751,12 @@ def test_query_window_holds_round4_entries():
     ]
     for name in changed_r4 + rotated_in:
         assert name in window, f"{name} fell out of the driver window"
-    # and nothing was lost in the rotation: 76 entries, no duplicates
-    assert len(keys) == len(set(keys)) == 76
+    # and nothing was lost in the rotation: no duplicates; the round-4
+    # additions (chunk_docs, bigram_top, tfidf_topk, semantic_dedup) sit
+    # in the tail — brand-new ops with no prior driver row to preserve
+    assert len(keys) == len(set(keys)) == 80
+    for name in ("chunk_docs", "bigram_top", "tfidf_topk", "semantic_dedup"):
+        assert name in keys[50:], f"{name} should be in the tail"
 
 
 def test_common_window_set_restores_shuffle_flag(ray_session):

@@ -1,0 +1,197 @@
+"""Round-4 prep operators: RAG chunking, bigram collocations, per-doc
+TF-IDF, and SemDeDup-style semantic dedup — each differentially tested
+against DuckDB (or, where SQL can't express it, against the exact
+brute-force rule computed independently in numpy)."""
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs_view(con):
+    con.execute(
+        f"CREATE OR REPLACE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+
+
+def test_chunk_documents_batch_matches_duckdb_edge_cases():
+    from pdfz_ray.functions.prep import chunk_documents_batch
+
+    texts = [
+        "a b c d e f g h i j",   # multiple chunks + short tail
+        "  one   two  ",          # irregular whitespace
+        "",                       # empty → no chunks
+        "   ",                    # all-whitespace → no chunks
+        "x",                      # single token
+        "α β γ δ ε ζ η θ",        # non-ASCII: char (not byte) slicing
+    ]
+    batch = pa.table(
+        {
+            "doc_id": pa.array(range(1, len(texts) + 1), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    got = (
+        chunk_documents_batch(batch, chunk_tokens=4, stride=3)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", batch)
+    exp = con.execute(
+        r"""
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(text, '\S+') AS tk FROM documents),
+        base AS (SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0),
+        starts AS (
+          SELECT doc_id, tk, n, unnest(generate_series(0, n - 1, 3)) AS s
+          FROM base)
+        SELECT doc_id, CAST(s / 3 AS BIGINT) AS chunk_id,
+               array_to_string(tk[s + 1 : least(s + 4, n)], ' ') AS chunk_text,
+               CAST(least(s + 4, n) - s AS BIGINT) AS n_tokens
+        FROM starts ORDER BY doc_id, chunk_id
+        """
+    ).df()
+    pd.testing.assert_frame_equal(got, exp)
+    # empty/whitespace docs contributed nothing
+    assert set(got["doc_id"]) == {1, 2, 5, 6}
+
+
+def test_chunk_documents_overlap_contract():
+    from pdfz_ray.functions.prep import chunk_documents_batch
+
+    batch = pa.table(
+        {"doc_id": pa.array([7], pa.int64()), "text": pa.array(["t" + " t".join(str(i) for i in range(100))])}
+    )
+    out = chunk_documents_batch(batch, chunk_tokens=64, stride=48).to_pandas()
+    # starts at 0, 48, 96 for 100 tokens
+    assert list(out["chunk_id"]) == [0, 1, 2]
+    assert list(out["n_tokens"]) == [64, 52, 4]
+    # consecutive chunks overlap by chunk_tokens - stride tokens
+    t0 = out["chunk_text"][0].split()
+    t1 = out["chunk_text"][1].split()
+    assert t0[48:] == t1[:16]
+    with pytest.raises(ValueError):
+        chunk_documents_batch(batch, chunk_tokens=0, stride=4)
+
+
+def test_chunk_documents_dataset_roundtrip(ray_session):
+    import ray.data as rd
+
+    from pdfz_ray.functions.prep import chunk_documents
+
+    ds = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    out = chunk_documents(ds, chunk_tokens=64, stride=48).to_pandas()
+    con = duckdb.connect()
+    _docs_view(con)
+    n_exp = con.execute(
+        r"""
+        SELECT sum(CAST(ceil(len(regexp_extract_all(text, '\S+')) / 48.0) AS BIGINT))
+        FROM documents WHERE len(regexp_extract_all(text, '\S+')) > 0
+        """
+    ).fetchone()[0]
+    assert len(out) == n_exp
+    # chunk token counts always in (0, chunk_tokens]
+    assert out["n_tokens"].between(1, 64).all()
+
+
+def test_bigram_top_matches_duckdb(ray_session):
+    from pdfz_ray.functions.prep import bigram_top
+
+    got = bigram_top(SF, k=20).reset_index(drop=True)
+    con = duckdb.connect()
+    _docs_view(con)
+    exp = con.execute(
+        r"""
+        WITH toks AS (
+          SELECT regexp_extract_all(lower(coalesce(text, '')), '\S+') AS tk
+          FROM documents),
+        g AS (SELECT array_to_string(tk[s : s + 1], ' ') AS bigram
+              FROM (SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS s
+                    FROM toks))
+        SELECT bigram, count(*) AS n FROM g
+        GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
+        """
+    ).df()
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_tfidf_topk_matches_duckdb(ray_session):
+    from pdfz_ray.functions.prep import tfidf_topk
+
+    got = tfidf_topk(SF, k=3).reset_index(drop=True)
+    con = duckdb.connect()
+    _docs_view(con)
+    exp = con.execute(
+        r"""
+        WITH t AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(coalesce(text, '')), '\S+')) AS term
+          FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+        df AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY term),
+        s AS (SELECT tf.doc_id, tf.term, tf.tf AS tf, df.df AS df,
+                     row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.term
+                     ) AS rn
+              FROM tf JOIN df USING (term))
+        SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+        FROM s WHERE rn <= 3 ORDER BY doc_id, term
+        """
+    ).df()
+    pd.testing.assert_frame_equal(got, exp)
+    # exactly k rows per doc with >= k distinct terms (all docs here)
+    assert (got.groupby("doc_id").size() == 3).all()
+
+
+def _brute_dropped(threshold: float) -> dict:
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = t.column("vec_id").to_numpy()
+    x = np.stack([np.asarray(v, np.float64) for v in t.column("embedding").to_pylist()])
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
+    order = np.argsort(ids)
+    ids_s, xs = ids[order], x[order]
+    sims = np.tril(xs @ xs.T, k=-1)
+    return dict(zip(ids_s.tolist(), (sims >= threshold).any(axis=1).tolist()))
+
+
+def test_semantic_dedup_single_cluster_is_exact(ray_session):
+    import ray.data as rd
+
+    from pdfz_ray.functions.dedup import semantic_dedup
+
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+    got = semantic_dedup(ds, n_clusters=1, threshold=0.45).to_pandas()
+    exp = _brute_dropped(0.45)
+    assert len(got) == len(exp)
+    for r in got.itertuples():
+        assert bool(r.dropped) == exp[r.vec_id], r.vec_id
+    # a real near-dup population exists at this threshold on this corpus
+    assert 0 < got["dropped"].sum() < len(got)
+
+
+def test_semantic_dedup_clustered_invariants(ray_session):
+    import ray.data as rd
+
+    from pdfz_ray.functions.dedup import semantic_dedup
+
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+    a = semantic_dedup(ds, n_clusters=8, threshold=0.45).to_pandas()
+    b = semantic_dedup(ds, n_clusters=8, threshold=0.45).to_pandas()
+    pd.testing.assert_frame_equal(a, b)  # deterministic across runs
+    exp = _brute_dropped(0.45)
+    assert len(a) == len(exp)  # full coverage, one row per vector
+    assert sorted(a["vec_id"]) == sorted(exp)
+    # cluster restriction only REMOVES candidate pairs: every clustered
+    # drop is also an exact-rule drop
+    for r in a.itertuples():
+        if r.dropped:
+            assert exp[r.vec_id]
+    assert a["cluster"].between(0, 7).all()
