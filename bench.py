@@ -381,12 +381,20 @@ def run_scaling(sf_dir: str, n_docs: int, replicas: int, lo: int = 8, hi: int = 
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir,
                    BENCH_DOCS=str(n_docs), BENCH_REPLICAS=str(replicas))
-        out = subprocess.run(
+        proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, check=True,
+            env=env, capture_output=True, text=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        )
+        if proc.returncode != 0:
+            # surface the leg's actual failure instead of a bare
+            # CalledProcessError with captured (hidden) stderr; the
+            # protocol runner records this and moves to the next run
+            raise RuntimeError(
+                f"{ncpu}-cpu leg exited {proc.returncode}: "
+                + proc.stderr.strip()[-2000:]
+            )
+        return json.loads(proc.stdout.strip().splitlines()[-1])
 
     def best(ncpu: int) -> tuple[dict, list[float]]:
         runs = [one(ncpu) for _ in range(trials)]
@@ -463,7 +471,16 @@ def run_scaling_protocol(
         runs: list[dict] = []
         n_ok = 0
         while n_ok < n_healthy and len(runs) < max_runs_per_pair:
-            r = run_scaling(sf_dir, n_docs, replicas, lo, hi)
+            try:
+                r = run_scaling(sf_dir, n_docs, replicas, lo, hi)
+            except RuntimeError as ex:
+                # a leg subprocess died (host OOM / contention window):
+                # record the failure as an unhealthy run and keep going —
+                # one bad window must not void the whole protocol
+                rec = {"healthy": False, "error": str(ex)[:500]}
+                runs.append(rec)
+                print(json.dumps({"pair": f"{lo}->{hi}", **rec}), file=sys.stderr)
+                continue
             rec = {
                 "efficiency": r["scaling_efficiency"],
                 "pages_per_sec_lo": r["pages_per_sec_lo"],
