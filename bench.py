@@ -159,6 +159,16 @@ def run_bench(sf_dir: str, num_cpus: int, n_docs: int, replicas: int) -> dict:
     rd.read_parquet(corpus).map_batches(
         lambda t: t.slice(0, 1), batch_format="pyarrow"
     ).count()
+    # (c) One FULL untimed pipeline pass: the one-shard warmup only makes
+    # the handful of workers it schedules import the pipeline — at 32
+    # CPUs the first timed trial still paid per-worker import plus
+    # first-touch of the ~19 GB tmpfs output on the remaining workers
+    # (measured: kept trials [49.1, 35.5, 33.3] — a 47% spread with
+    # healthy burns on every trial, so it is cold state, not host steal).
+    # The warmup's wall time is recorded in the JSON, never hidden.
+    t0 = time.perf_counter()
+    extract_to_dir(corpus, out_dir, ocr=True, batch_size=2048)
+    warmup_extract_sec = round(time.perf_counter() - t0, 3)
     extract_trials: list[float] = []
     calib: list[float] = []
     discarded_trials: list[float] = []
@@ -221,7 +231,9 @@ def run_bench(sf_dir: str, num_cpus: int, n_docs: int, replicas: int) -> dict:
             "pages": pages,
             "docs_per_sec": round(docs_done / timings["extract"], 2),
             "pages_per_sec": round(pages / timings["extract"], 2),
-            "extract_trials_sec": extract_trials,
+            "warmup_extract_sec": warmup_extract_sec,
+            "warmup_extract_sec": warmup_extract_sec,
+        "extract_trials_sec": extract_trials,
             "calibration_burn_sec": calib,
             "burn_gate_sec": burn_gate,
             "discarded_trials_sec": discarded_trials,
@@ -310,6 +322,14 @@ def run_bench(sf_dir: str, num_cpus: int, n_docs: int, replicas: int) -> dict:
         ).count(),
     )
 
+    # 9) round-4 prep ops: RAG token-window chunking (narrow flat
+    # expansion, no shuffle) and per-doc TF-IDF (vocab-sized df broadcast
+    # + in-batch doc-local top-k)
+    from pdfz_ray.functions.prep import chunk_documents, tfidf_topk
+
+    timed("chunk_docs", lambda: chunk_documents(_docs()).count())
+    timed("tfidf_topk", lambda: len(tfidf_topk(sf_dir, k=3)))
+
     # kernel-level speedup: vectorized mod-2^64 poly hash vs the round-1
     # per-byte Python loop (mod 2^61-1), same normalized input, driver-side
     def _kernel_speedup() -> float:
@@ -362,6 +382,7 @@ def run_bench(sf_dir: str, num_cpus: int, n_docs: int, replicas: int) -> dict:
         # the burns that bracketed them; discarded_* records trials/burns
         # rejected by the gate so host-steal windows are visible, not
         # silently folded into the spread (see BASELINE.md protocol)
+        "warmup_extract_sec": warmup_extract_sec,
         "extract_trials_sec": extract_trials,
         "calibration_burn_sec": calib,
         "burn_gate_sec": burn_gate,

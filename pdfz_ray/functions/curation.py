@@ -1278,10 +1278,10 @@ def _passage_stats_sharded(
     same 6-bit hash-prefix bucket as the common set; one groupby("bucket")
     co-partitions both sides; a vectorized searchsorted membership inside
     each bucket turns counts into per-doc dup partials; a final
-    groupby(doc_id).sum folds partials with the batch-local window totals.
+    doc_id%64-bucketed fold (np.unique/bincount per group — never a raw
+    doc_id-keyed sort) combines partials with batch-local window totals.
     The exchange ships ~20 B per distinct (doc, window) pair — the price
     of not broadcasting, paid only on pathologically duplicated corpora."""
-    from ray.data.aggregate import Sum
 
     def corpus_partial(batch: pa.Table) -> pa.Table:
         empty = pa.Table.from_arrays(
@@ -1413,14 +1413,46 @@ def _passage_stats_sharded(
         ),
         batch_format="pyarrow",
     )
-    return (
-        dup_parts.union(tot_rows)
-        .groupby("doc_id")
-        .aggregate(
-            Sum("n_windows", alias_name="n_windows"),
-            Sum("n_dup_windows", alias_name="n_dup_windows"),
+    # Final fold: the obvious groupby(doc_id).sum sorts its partials by a
+    # key with ONE DISTINCT VALUE PER DOCUMENT — the exact high-cardinality
+    # sort-key pathology phase 1's 6-bit bucketing removed (240 s → 15 s
+    # there). Same cure here: partials carry dbucket = doc_id % 64, the
+    # exchange sorts by that tiny key, and a vectorized np.unique/bincount
+    # fold runs per bucket.
+    def add_dbucket(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.append_column("dbucket", pa.array((ids % 64).astype(np.int8)))
+
+    def fold_group(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id").to_numpy()
+        ud, inv = np.unique(ids, return_inverse=True)
+        n_win = np.bincount(
+            inv, weights=group.column("n_windows").to_numpy()
+        ).astype(np.int64)
+        n_dup = np.bincount(
+            inv, weights=group.column("n_dup_windows").to_numpy()
+        ).astype(np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(ud), pa.array(n_win), pa.array(n_dup)],
+            names=["doc_id", "n_windows", "n_dup_windows"],
         )
+
+    out = (
+        dup_parts.union(tot_rows)
+        .map_batches(add_dbucket, batch_format="pyarrow")
+        .groupby("dbucket")
+        .map_groups(fold_group, batch_format="pyarrow")
     )
+    # Same push-based-shuffle scoping as phase 1 (the 16× lever there)
+    # across this path's exchanges. Materialize inside the scope so the
+    # override never leaks to the caller's chain context (ADVICE r3 #5
+    # contract); the result is doc-count-bounded.
+    prev = out.context.use_push_based_shuffle
+    out.context.use_push_based_shuffle = True
+    try:
+        return out.materialize()
+    finally:
+        out.context.use_push_based_shuffle = prev
 
 
 def passage_stats(

@@ -1195,8 +1195,15 @@ def semantic_dedup(
         ids = ids[order]
         x = np.stack([np.asarray(v, np.float64) for v in g["embedding"].to_numpy()])
         x = _normalize(x)[order]
-        sims = np.tril(x @ x.T, k=-1)
-        dropped = (sims >= threshold).any(axis=1)
+        # dropped[i] ⇔ ∃ j < i with cos(i, j) ≥ threshold. Blocked so a
+        # skewed cluster costs O(B·|cluster|) temp memory, not |cluster|²
+        B = 2048
+        dropped = np.zeros(len(ids), bool)
+        for s in range(0, len(ids), B):
+            e = min(s + B, len(ids))
+            sims = x[s:e] @ x[:e].T  # rows: i in [s, e); cols: j < e
+            mask = np.tril(np.ones((e - s, e), bool), k=s - 1)  # j < i
+            dropped[s:e] = ((sims >= threshold) & mask).any(axis=1)
         return pd.DataFrame(
             {
                 "vec_id": ids,

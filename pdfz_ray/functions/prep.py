@@ -137,7 +137,9 @@ def chunk_documents(
     )
 
 
-def bigram_top(sf_dir: str, k: int = 20) -> "pa.Table":
+def bigram_top(
+    sf_dir: str, k: int = 20, docs_path: str | None = None
+) -> "pa.Table":
     """Corpus-wide top-k bigram collocations — the classic wide count with
     per-batch pre-aggregation: each batch emits (bigram, n) partials from
     one np.unique over vectorized adjacent-token joins (reusing
@@ -148,8 +150,12 @@ def bigram_top(sf_dir: str, k: int = 20) -> "pa.Table":
     ``analytics.top_terms``; ties break lexicographically."""
     from pdfz_ray.functions.curation import ngram_arrays
 
+    # 8 blocks matches the sf0.1 bench profile; larger corpora passed via
+    # docs_path let Ray size blocks to the input (target block size × cpus)
     ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["text"], override_num_blocks=8
+        docs_path or f"{sf_dir}/documents.parquet",
+        columns=["text"],
+        override_num_blocks=8 if docs_path is None else None,
     )
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -200,7 +206,9 @@ def _doc_term_counts(batch: pa.Table):
     return g
 
 
-def tfidf_topk(sf_dir: str, k: int = 3) -> "pa.Table":
+def tfidf_topk(
+    sf_dir: str, k: int = 3, docs_path: str | None = None
+) -> "pa.Table":
     """Per-document top-k TF-IDF terms — salient-keyword extraction for
     indexing / topic routing. Two passes, both pre-aggregated:
 
@@ -222,9 +230,9 @@ def tfidf_topk(sf_dir: str, k: int = 3) -> "pa.Table":
     import pandas as pd
 
     ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet",
+        docs_path or f"{sf_dir}/documents.parquet",
         columns=["doc_id", "text"],
-        override_num_blocks=8,
+        override_num_blocks=8 if docs_path is None else None,
     )
 
     def df_partial(batch: pa.Table) -> pa.Table:

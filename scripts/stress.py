@@ -385,6 +385,68 @@ def windows1m():
     print(json.dumps({"stress": "windows-1m", "timings": t, "outputs": out}))
 
 
+def prep1m():
+    """Round-4 prep-operator tier: 1M-doc chunking / bigram / TF-IDF and
+    SemDeDup over 128k vectors (64× replicated sf0.1 embeddings — every
+    vector a 64-deep exact-dup group, the adversarial profile; 64 clusters
+    keeps Σ|cluster|² matmuls ~2k-row, the paper's n/1e4 shape)."""
+    ray = init_ray()
+    import ray.data as rd
+
+    from pdfz_ray.functions.dedup import semantic_dedup
+    from pdfz_ray.functions.prep import bigram_top, chunk_documents, tfidf_topk
+
+    d = replicate_documents(200, "docs-1m")
+
+    # embeddings × 64 with unique vec_ids (same replicate pattern)
+    e_dir = os.path.join(STRESS_ROOT, "emb-128k")
+    marker = os.path.join(e_dir, "_DONE")
+    if not os.path.exists(marker):
+        os.makedirs(e_dir, exist_ok=True)
+        base = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+        n = base.num_rows
+        vid = base.schema.get_field_index("vec_id")
+        for p, ks in enumerate(np.array_split(np.arange(64), 8)):
+            parts = [
+                base.set_column(
+                    vid, "vec_id", pc.add(base.column("vec_id"), int(k) * n)
+                )
+                for k in ks
+            ]
+            pq.write_table(
+                pa.concat_tables(parts), os.path.join(e_dir, f"part-{p:03d}.parquet")
+            )
+        with open(marker, "w") as f:
+            f.write("ok\n")
+
+    t: dict[str, float] = {}
+    out: dict[str, int] = {}
+    out["chunks"] = timed(
+        t,
+        "chunk_1m",
+        lambda: chunk_documents(rd.read_parquet(d, columns=["doc_id", "text"])).count(),
+    )
+    out["bigrams"] = timed(
+        t, "bigram_1m", lambda: bigram_top(SF_DIR, k=20, docs_path=d)
+    ).shape[0]
+    out["tfidf_rows"] = timed(
+        t, "tfidf_1m", lambda: len(tfidf_topk(SF_DIR, k=3, docs_path=d))
+    )
+    sd = timed(
+        t,
+        "semantic_128k",
+        lambda: semantic_dedup(
+            rd.read_parquet(e_dir), n_clusters=64, threshold=0.45
+        ),
+    )
+    out["semantic_rows"] = sd.num_rows
+    out["semantic_dropped"] = int(
+        pc.sum(pc.cast(sd.column("dropped"), pa.int64())).as_py()
+    )
+    ray.shutdown()
+    print(json.dumps({"stress": "prep-1m", "timings": t, "outputs": out}))
+
+
 if __name__ == "__main__":
     {
         "neardup": neardup,
@@ -393,4 +455,5 @@ if __name__ == "__main__":
         "round3": round3,
         "windows1m": windows1m,
         "passage_sharded": passage_sharded,
+        "prep1m": prep1m,
     }[sys.argv[1]]()
