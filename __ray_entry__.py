@@ -410,6 +410,12 @@ def _q_semantic_dedup(sf_dir: str):
     return semantic_dedup(_embeddings(sf_dir), n_clusters=8, threshold=0.45)
 
 
+def _q_lm_coverage(sf_dir: str):
+    from pdfz_ray.functions.prep import lm_coverage
+
+    return lm_coverage(sf_dir, min_count=2)
+
+
 def _q_knn_brute(sf_dir: str):
     from pdfz_ray.functions.similarity import knn_brute, load_query_matrix
 
@@ -994,6 +1000,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_top": _q_bigram_top,
         "tfidf_topk": _q_tfidf_topk,
         "semantic_dedup": _q_semantic_dedup,
+        "lm_coverage": _q_lm_coverage,
     }
 
 
@@ -1965,4 +1972,26 @@ FROM media_ok
     # SQL-expressible — rows-only by design; correctness pinned by pytest
     # (n_clusters=1 == exact brute-force min-id rule, determinism,
     # clustered-dropped ⊆ exact-dropped, full row coverage)
+    # round-4: LM-coverage quality signal — per-doc rare-bigram counts
+    # (integer-exact CCNet-perplexity analogue; rare = corpus count < 2)
+    sqls["lm_coverage"] = r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 regexp_extract_all(lower(coalesce(text, '')), '\S+') AS tk
+          FROM documents),
+        bg AS (SELECT doc_id, tk[s] || ' ' || tk[s + 1] AS bigram
+               FROM (SELECT doc_id, tk,
+                            unnest(generate_series(1, len(tk) - 1)) AS s
+                     FROM toks)),
+        cnt AS (SELECT bigram, count(*) AS n FROM bg GROUP BY bigram),
+        rare AS (SELECT bg.doc_id,
+                        count(*) AS n_transitions,
+                        count(*) FILTER (WHERE cnt.n < 2) AS n_rare
+                 FROM bg JOIN cnt USING (bigram) GROUP BY bg.doc_id)
+        SELECT d.doc_id,
+               CAST(coalesce(r.n_transitions, 0) AS BIGINT) AS n_transitions,
+               CAST(coalesce(r.n_rare, 0) AS BIGINT) AS n_rare
+        FROM documents d LEFT JOIN rare r USING (doc_id)
+        ORDER BY d.doc_id
+    """
     return sqls

@@ -286,3 +286,94 @@ def tfidf_topk(
     out = ds.map_batches(score, batch_format="pyarrow").to_pandas()
     out = out.sort_values(["doc_id", "term"]).reset_index(drop=True)
     return out
+
+
+def lm_coverage(
+    sf_dir: str, min_count: int = 2, docs_path: str | None = None
+) -> "pa.Table":
+    """Per-doc language-model-coverage quality signal (the integer-exact
+    analogue of CCNet-style LM perplexity filtering, Wenzek et al.,
+    arXiv:1911.00359): for each document, how many of its adjacent-token
+    transitions (bigrams) are RARE corpus-wide (count < min_count).
+    Garbled / machine-generated text has a high rare-transition fraction;
+    fluent text's transitions mostly recur. Counts stay integers so the
+    DuckDB twin hashes exactly (no log-prob float divergence).
+
+    Two passes, both bounded:
+      1. corpus bigram counts (per-batch np.unique partials → a
+         distinct-bigram groupby, same shape as :func:`bigram_top`); the
+         FREQUENT set (count ≥ min_count) broadcasts via ``ray.put`` —
+         the smaller side by Zipf (the rare mass is the long tail), and
+         the side that stays bounded as the corpus grows; a df-capped
+         fallback as in ``curation.doc_rarity`` applies beyond ~10^8
+         frequent bigrams.
+      2. per-doc scoring: vectorized searchsorted membership of each
+         batch's bigrams against the broadcast set; n_rare =
+         n_transitions − hits, folded per doc with one bincount.
+
+    Emits (doc_id, n_transitions, n_rare), sorted by doc_id — every
+    input doc appears (0/0 for docs with < 2 tokens)."""
+    from ray.data.aggregate import Sum
+
+    from pdfz_ray.functions.curation import ngram_arrays
+
+    path = docs_path or f"{sf_dir}/documents.parquet"
+    ds = ray.data.read_parquet(
+        path,
+        columns=["doc_id", "text"],
+        override_num_blocks=8 if docs_path is None else None,
+    )
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.string()), pa.array([], pa.int64())],
+                names=["bigram", "n"],
+            )
+        grams, _ = ngram_arrays(pc.utf8_lower(batch.column("text")), n=2)
+        terms, counts = np.unique(np.asarray(grams), return_counts=True)
+        return pa.Table.from_arrays(
+            [
+                pa.array(terms.astype(object), pa.string()),
+                pa.array(counts.astype(np.int64)),
+            ],
+            names=["bigram", "n"],
+        )
+
+    agg = (
+        ds.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    frequent = np.sort(
+        agg.loc[agg["n"] >= min_count, "bigram"].to_numpy(np.str_)
+    )
+    ref = ray.put(frequent)
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch.column("doc_id"), pa.int64())
+        if batch.num_rows == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64())] * 3,
+                names=["doc_id", "n_transitions", "n_rare"],
+            )
+        freq = ray.get(ref)
+        grams, parent = ngram_arrays(pc.utf8_lower(batch.column("text")), n=2)
+        n_trans = np.bincount(parent, minlength=batch.num_rows).astype(np.int64)
+        g = np.asarray(grams, np.str_)
+        if len(g) and len(freq):
+            pos = np.searchsorted(freq, g)
+            hit = (pos < len(freq)) & (freq[np.minimum(pos, len(freq) - 1)] == g)
+        else:
+            hit = np.zeros(len(g), bool)
+        n_freq = np.bincount(
+            parent[hit], minlength=batch.num_rows
+        ).astype(np.int64)
+        return pa.Table.from_arrays(
+            [ids, pa.array(n_trans), pa.array(n_trans - n_freq)],
+            names=["doc_id", "n_transitions", "n_rare"],
+        )
+
+    out = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)

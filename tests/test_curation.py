@@ -754,8 +754,14 @@ def test_query_window_holds_round4_entries():
     # and nothing was lost in the rotation: no duplicates; the round-4
     # additions (chunk_docs, bigram_top, tfidf_topk, semantic_dedup) sit
     # in the tail — brand-new ops with no prior driver row to preserve
-    assert len(keys) == len(set(keys)) == 80
-    for name in ("chunk_docs", "bigram_top", "tfidf_topk", "semantic_dedup"):
+    assert len(keys) == len(set(keys)) == 81
+    for name in (
+        "chunk_docs",
+        "bigram_top",
+        "tfidf_topk",
+        "semantic_dedup",
+        "lm_coverage",
+    ):
         assert name in keys[50:], f"{name} should be in the tail"
 
 

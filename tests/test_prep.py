@@ -195,3 +195,60 @@ def test_semantic_dedup_clustered_invariants(ray_session):
         if r.dropped:
             assert exp[r.vec_id]
     assert a["cluster"].between(0, 7).all()
+
+
+def test_lm_coverage_matches_duckdb(ray_session):
+    from pdfz_ray.functions.prep import lm_coverage
+
+    got = lm_coverage(SF, min_count=2).reset_index(drop=True)
+    con = duckdb.connect()
+    _docs_view(con)
+    exp = con.execute(
+        r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 regexp_extract_all(lower(coalesce(text, '')), '\S+') AS tk
+          FROM documents),
+        bg AS (SELECT doc_id, tk[s] || ' ' || tk[s + 1] AS bigram
+               FROM (SELECT doc_id, tk,
+                            unnest(generate_series(1, len(tk) - 1)) AS s
+                     FROM toks)),
+        cnt AS (SELECT bigram, count(*) AS n FROM bg GROUP BY bigram),
+        rare AS (SELECT bg.doc_id,
+                        count(*) AS n_transitions,
+                        count(*) FILTER (WHERE cnt.n < 2) AS n_rare
+                 FROM bg JOIN cnt USING (bigram) GROUP BY bg.doc_id)
+        SELECT d.doc_id,
+               CAST(coalesce(r.n_transitions, 0) AS BIGINT) AS n_transitions,
+               CAST(coalesce(r.n_rare, 0) AS BIGINT) AS n_rare
+        FROM documents d LEFT JOIN rare r USING (doc_id)
+        ORDER BY d.doc_id
+        """
+    ).df()
+    pd.testing.assert_frame_equal(got, exp)
+    # the signal separates: some docs have rare transitions, none exceed
+    # their transition count, and every doc appears exactly once
+    assert (got["n_rare"] <= got["n_transitions"]).all()
+    assert got["doc_id"].is_unique and len(got) == 500
+
+
+def test_lm_coverage_threshold_semantics(ray_session, tmp_path):
+    """min_count=1 marks nothing rare (every bigram occurs >= 1 time);
+    a huge min_count marks every transition rare."""
+    import pyarrow.parquet as pq_mod
+
+    from pdfz_ray.functions.prep import lm_coverage
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["a b a b", "a b c", "solo"]),
+        }
+    )
+    p = str(tmp_path / "documents.parquet")
+    pq_mod.write_table(t, p)
+    none_rare = lm_coverage("unused", min_count=1, docs_path=p)
+    assert none_rare["n_rare"].sum() == 0
+    assert list(none_rare["n_transitions"]) == [3, 2, 0]
+    all_rare = lm_coverage("unused", min_count=10**9, docs_path=p)
+    assert list(all_rare["n_rare"]) == [3, 2, 0]
