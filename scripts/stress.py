@@ -432,6 +432,11 @@ def prep1m():
     out["tfidf_rows"] = timed(
         t, "tfidf_1m", lambda: len(tfidf_topk(SF_DIR, k=3, docs_path=d))
     )
+    from pdfz_ray.functions.prep import lm_coverage
+
+    out["lm_rows"] = timed(
+        t, "lm_coverage_1m", lambda: len(lm_coverage(SF_DIR, docs_path=d))
+    )
     sd = timed(
         t,
         "semantic_128k",
