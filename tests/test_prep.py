@@ -252,3 +252,51 @@ def test_lm_coverage_threshold_semantics(ray_session, tmp_path):
     assert list(none_rare["n_transitions"]) == [3, 2, 0]
     all_rare = lm_coverage("unused", min_count=10**9, docs_path=p)
     assert list(all_rare["n_rare"]) == [3, 2, 0]
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab α\t\n"), min_size=0, max_size=60
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    chunk=st.integers(1, 9),
+    stride_delta=st.integers(0, 8),
+)
+def test_chunk_documents_reconstruction_property(texts, chunk, stride_delta):
+    """Every doc reconstructs exactly from its chunks: chunk 0 plus each
+    later chunk's tail beyond the overlap re-joins to the normalized
+    (single-space) document; token counts and coverage are exact."""
+    from pdfz_ray.functions.prep import chunk_documents_batch
+
+    stride = max(1, chunk - stride_delta)  # stride <= chunk: full coverage
+    batch = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    out = chunk_documents_batch(batch, chunk_tokens=chunk, stride=stride).to_pandas()
+    for i, text in enumerate(texts):
+        toks = text.split()
+        mine = out[out["doc_id"] == i].sort_values("chunk_id")
+        if not toks:
+            assert len(mine) == 0
+            continue
+        # chunk c covers tokens [c*stride, min(c*stride+chunk, n))
+        assert list(mine["chunk_id"]) == list(range(len(mine)))
+        rebuilt: list[str] = []
+        for r in mine.itertuples():
+            ctoks = r.chunk_text.split(" ") if r.chunk_text else []
+            assert len(ctoks) == r.n_tokens
+            start = r.chunk_id * stride
+            assert ctoks == toks[start : start + chunk]
+            rebuilt.extend(ctoks[max(len(rebuilt) - start, 0) :])
+        assert rebuilt == toks
