@@ -222,18 +222,17 @@ def tfidf_topk(
        the vocabulary-sized df table broadcasts via ``ray.put`` (same
        broadcast-bounded-by-vocab contract as ``curation.doc_rarity``,
        which also documents the df-capped fallback for 10^9-term corpora).
-    2. scoring: each batch computes per-doc tf in one pandas hash groupby,
-       maps df with a vectorized merge against the broadcast table, and
-       takes the doc-local top-k by (tf/df DESC, term ASC) — valid without
-       a shuffle because a document's terms never span batches.
+    2. scoring: each batch computes per-doc tf in one Arrow hash
+       aggregate, looks df up with one searchsorted against the sorted
+       broadcast vocabulary, and takes the doc-local top-k by (tf/df
+       DESC, term ASC) — valid without a shuffle because a document's
+       terms never span batches.
 
     Ranking uses the float64 quotient tf/df (monotone in tf·idf for fixed
     corpus size N) — IEEE division is bit-identical between numpy and the
     DuckDB twin's ``CAST(tf AS DOUBLE)/df``, and the term tie-break makes
     ordering total. Emits (doc_id, term, tf, df), sorted by (doc_id, term).
     """
-    import pandas as pd
-
     ds = ray.data.read_parquet(
         docs_path or f"{sf_dir}/documents.parquet",
         columns=["doc_id", "text"],
