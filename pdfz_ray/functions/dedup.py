@@ -42,15 +42,26 @@ def content_hash_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def exact_dedup_docs(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+def exact_dedup_docs(
+    ds: "ray.data.Dataset", hash_col: str | None = None
+) -> "ray.data.Dataset":
     """Exact dedup: one keeper (min doc_id) per distinct content.
 
     The groupby shuffles only (doc_id, hash) pairs — 48 bytes/row — not
-    document payloads.
+    document payloads. ``hash_col`` names a precomputed md5-hex column
+    (e.g. from ``curation.with_content_hash``) so a composed pipeline
+    pays the per-doc md5 pass once across every hash-keyed operator
+    (r3 review item #5 — same contract as hash_sample / mixture /
+    dedup_against / shuffle_rank); default self-hashes.
     """
     from ray.data.aggregate import Count, Min
 
-    hashed = ds.map_batches(content_hash_batch, batch_format="pyarrow")
+    if hash_col is None:
+        hashed = ds.map_batches(content_hash_batch, batch_format="pyarrow")
+    else:
+        hashed = ds.select_columns(["doc_id", hash_col]).rename_columns(
+            ["doc_id", "content_hash"]
+        )
     return hashed.groupby("content_hash").aggregate(
         Min("doc_id", alias_name="doc_id"),
         Count(alias_name="n_copies"),

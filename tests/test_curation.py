@@ -988,6 +988,14 @@ def test_shared_content_hash_feeds_operators(ray_session):
     )
     assert steered.count() == 0  # bucket 0xffff clears every rate
 
+    # 5. exact_dedup_docs (round-4: the last hash-keyed op to join the
+    # shared-pass contract)
+    from pdfz_ray.functions.dedup import exact_dedup_docs
+
+    a = rows(exact_dedup_docs(mk()))
+    b = rows(exact_dedup_docs(hashed, hash_col="content_hash"))
+    assert a == b and len(a) == n - 1  # docs 0/1 collapse to one keeper
+
 
 def test_passage_family_sharded_path_matches_broadcast(ray_session):
     """r3 next-round #9: above broadcast_limit the passage family resolves
