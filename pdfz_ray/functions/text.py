@@ -338,22 +338,37 @@ SPLIT_NAMES = ("train", "val", "test")
 
 
 def split_assign_batch(
-    batch: pa.Table, train_pct: int = 80, val_pct: int = 10
+    batch: pa.Table,
+    train_pct: int = 80,
+    val_pct: int = 10,
+    hash_col: str | None = None,
 ) -> pa.Table:
     """Deterministic train/val/test assignment by content hash — the
     leakage-safe split for training-data pipelines (same text → same split
     on every run, machine, and cluster size; near-dup aware splits compose
     this with a dedup group_id). Bucket = first 16 bits of md5(text);
-    SQL-exact via lexicographic comparison of the first 4 hex chars."""
-    texts = batch.column("text").to_pylist()
+    SQL-exact via lexicographic comparison of the first 4 hex chars.
+    ``hash_col`` names a precomputed md5-hex column (the shared
+    ``curation.with_content_hash`` pass) so a composed pipeline hashes
+    each doc once."""
     bounds = (
         (train_pct * 65536) // 100,
         ((train_pct + val_pct) * 65536) // 100,
     )
-    buckets = np.array(
-        [int(hashlib.md5((t or "").encode()).hexdigest()[:4], 16) for t in texts],
-        np.int64,
-    )
+    if hash_col is not None:
+        buckets = np.array(
+            [int(h[:4], 16) for h in batch.column(hash_col).to_pylist()],
+            np.int64,
+        )
+    else:
+        texts = batch.column("text").to_pylist()
+        buckets = np.array(
+            [
+                int(hashlib.md5((t or "").encode()).hexdigest()[:4], 16)
+                for t in texts
+            ],
+            np.int64,
+        )
     split = np.where(
         buckets < bounds[0], "train", np.where(buckets < bounds[1], "val", "test")
     )

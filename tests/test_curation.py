@@ -996,6 +996,19 @@ def test_shared_content_hash_feeds_operators(ray_session):
     b = rows(exact_dedup_docs(hashed, hash_col="content_hash"))
     assert a == b and len(a) == n - 1  # docs 0/1 collapse to one keeper
 
+    # 6. split_assign_batch (the plain split; grouped variant is case 4)
+    from pdfz_ray.functions.text import split_assign_batch
+
+    a = rows(mk().map_batches(split_assign_batch, batch_format="pyarrow"))
+    b = rows(
+        hashed.map_batches(
+            split_assign_batch,
+            batch_format="pyarrow",
+            fn_kwargs={"hash_col": "content_hash"},
+        )
+    )
+    assert a == b and len(a) == n
+
 
 def test_passage_family_sharded_path_matches_broadcast(ray_session):
     """r3 next-round #9: above broadcast_limit the passage family resolves
