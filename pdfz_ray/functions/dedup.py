@@ -1150,13 +1150,18 @@ def semantic_dedup(
     threshold: float = 0.90,
     train_sample: int = 4096,
     seed: int = 42,
+    keep: str = "min_id",
 ) -> pa.Table:
     """SemDeDup-style semantic deduplication (Abbas et al.,
     arXiv:2303.09540): cluster embeddings with seeded spherical k-means,
-    then mark WITHIN each cluster every vector that has a lower-id
-    neighbor at cosine ≥ threshold — the same deterministic min-id-keeps
-    rule as the text near-dup family. Complexity drops from O(n²) to
-    Σ|cluster|², the whole point of the method at 10^8+ vectors.
+    then mark WITHIN each cluster every vector that has an earlier-ranked
+    neighbor at cosine ≥ threshold. ``keep`` picks the rank order:
+    ``"min_id"`` (default — the same deterministic rule as the text
+    near-dup family, lowest vec_id survives) or ``"far_centroid"`` (the
+    paper's §3 rule: keep the example FARTHEST from its cluster centroid,
+    preferring harder/atypical examples; ties then break by vec_id, so
+    both orders are total and run-deterministic). Complexity drops from
+    O(n²) to Σ|cluster|², the whole point of the method at 10^8+ vectors.
 
     Plan shape (all data-plane):
       * centroids: bounded ``limit(train_sample)`` driver fit (reuses
@@ -1198,14 +1203,24 @@ def semantic_dedup(
             names=["vec_id", "cluster", "embedding"],
         )
 
+    if keep not in ("min_id", "far_centroid"):
+        raise ValueError(f"unknown keep rule: {keep!r}")
+
     def dedup_group(g) -> "pa.Table":
         import pandas as pd
 
         ids = g["vec_id"].to_numpy(np.int64)
-        order = np.argsort(ids, kind="stable")
-        ids = ids[order]
         x = np.stack([np.asarray(v, np.float64) for v in g["embedding"].to_numpy()])
-        x = _normalize(x)[order]
+        x = _normalize(x)
+        if keep == "far_centroid":
+            # paper order: farthest-from-centroid first (ascending
+            # centroid-cosine), vec_id as the total tie-break
+            cen = centroids[int(g["cluster"].iloc[0])]
+            order = np.lexsort((ids, x @ cen))
+        else:
+            order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        x = x[order]
         # dropped[i] ⇔ ∃ j < i with cos(i, j) ≥ threshold. Blocked so a
         # skewed cluster costs O(B·|cluster|) temp memory, not |cluster|²
         B = 2048

@@ -300,3 +300,58 @@ def test_chunk_documents_reconstruction_property(texts, chunk, stride_delta):
             assert ctoks == toks[start : start + chunk]
             rebuilt.extend(ctoks[max(len(rebuilt) - start, 0) :])
         assert rebuilt == toks
+
+
+def test_semantic_dedup_far_centroid_rule(ray_session, tmp_path):
+    """keep="far_centroid" (the SemDeDup paper's §3 rule) must equal an
+    independent numpy replication: rank ascending by centroid cosine
+    (vec_id tie-break), drop any vector with an earlier-ranked neighbor
+    at cosine >= threshold — the farthest member of each dup set wins."""
+    import pyarrow.parquet as pq_mod
+    import ray.data as rd
+
+    from pdfz_ray.functions.dedup import semantic_dedup
+    from pdfz_ray.functions.similarity import _kmeans_fit, _normalize
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(6, 16))
+    rows = []
+    vid = 0
+    for b in base:
+        for _ in range(rng.integers(1, 4)):  # 1-3 near-copies each
+            rows.append((vid, (b + rng.normal(scale=0.01, size=16)).astype(np.float32)))
+            vid += 1
+    t = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array([r[1].tolist() for r in rows], pa.list_(pa.float32())),
+            "label": pa.array([0] * len(rows), pa.int32()),
+        }
+    )
+    p = str(tmp_path / "embeddings.parquet")
+    pq_mod.write_table(t, p)
+
+    thr = 0.98
+    got = semantic_dedup(
+        rd.read_parquet(p), n_clusters=1, threshold=thr, keep="far_centroid"
+    ).to_pandas()
+
+    # independent replication of the documented rule
+    ids = t.column("vec_id").to_numpy()
+    x = _normalize(
+        np.stack([np.asarray(v, np.float64) for v in t.column("embedding").to_pylist()])
+    )
+    cen = _kmeans_fit(x, 1)[0]
+    order = np.lexsort((ids, x @ cen))
+    dropped_exp: dict[int, bool] = {}
+    seen: list[int] = []
+    for i in order:
+        # dropped iff ANY earlier-RANKED vector (kept or not) is >= thr
+        dropped_exp[int(ids[i])] = any((x[i] @ x[j]) >= thr for j in seen)
+        seen.append(i)
+    for r in got.itertuples():
+        assert bool(r.dropped) == dropped_exp[r.vec_id], r.vec_id
+    # sanity: the dup population exists and survivors differ from min_id
+    assert 0 < got["dropped"].sum() < len(got)
+    with pytest.raises(ValueError):
+        semantic_dedup(rd.read_parquet(p), keep="nope")
