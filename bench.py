@@ -66,6 +66,68 @@ def ensure_bench_corpus(
     return paths
 
 
+def gated_extract_trials(
+    do_extract,
+    out_dir: str,
+    n_trials: int,
+    burn_gate: float,
+    max_attempts: int,
+    burn,
+    sleep=time.sleep,
+) -> dict:
+    """Burn-gated trial loop (shared-VM measurement hygiene).
+
+    Each trial is bracketed by single-core calibration burns; a burn above
+    ``burn_gate`` marks a stolen-host window and the trial is DISCARDED
+    and re-run (bounded attempts). Invariant (the round-4 driver-bench
+    post-mortem): ``out_dir`` is cleared only AFTER the pre-trial burn
+    passes and immediately re-populated by ``do_extract``, so on return
+    ``out_dir`` always holds the output of the last extract that ran —
+    even when the final attempts were all rejected at the pre-trial gate.
+    """
+    import shutil
+
+    extract_trials: list[float] = []
+    calib: list[float] = []
+    discarded_trials: list[float] = []
+    discarded_burns: list[float] = []
+    attempts = 0
+    while len(extract_trials) < n_trials and attempts < max_attempts:
+        attempts += 1
+        b0 = burn()
+        if b0 > burn_gate:
+            discarded_burns.append(b0)
+            sleep(3)  # let the steal window pass before retrying
+            continue
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        do_extract()
+        dt = round(time.perf_counter() - t0, 3)
+        b1 = burn()
+        if b1 > burn_gate:
+            discarded_trials.append(dt)
+            discarded_burns.append(b1)
+            continue
+        extract_trials.append(dt)
+        calib.extend([b0, b1])
+    if not extract_trials:
+        # every attempt hit a stolen window — report the discarded trials
+        # honestly rather than dying (the JSON marks them as unhealthy)
+        extract_trials = discarded_trials or [float("nan")]
+    if not os.path.exists(out_dir):
+        # every attempt was rejected at the pre-trial gate (out_dir holds
+        # whatever preceded the loop, normally the warmup output) AND no
+        # prior pass left output: re-run one untimed extract so the metric
+        # readback never dies on a missing directory
+        do_extract()
+    return {
+        "extract_trials_sec": extract_trials,
+        "calibration_burn_sec": calib,
+        "discarded_trials_sec": discarded_trials,
+        "discarded_burns_sec": discarded_burns,
+    }
+
+
 def run_bench(sf_dir: str, num_cpus: int, n_docs: int, replicas: int) -> dict:
     import ray
 
@@ -169,39 +231,25 @@ def run_bench(sf_dir: str, num_cpus: int, n_docs: int, replicas: int) -> dict:
     t0 = time.perf_counter()
     extract_to_dir(corpus, out_dir, ocr=True, batch_size=2048)
     warmup_extract_sec = round(time.perf_counter() - t0, 3)
-    extract_trials: list[float] = []
-    calib: list[float] = []
-    discarded_trials: list[float] = []
-    discarded_burns: list[float] = []
-    attempts = 0
-    while len(extract_trials) < n_trials and attempts < max_attempts:
-        attempts += 1
-        shutil.rmtree(out_dir, ignore_errors=True)
-        b0 = _burn()
-        if b0 > burn_gate:
-            discarded_burns.append(b0)
-            time.sleep(3)  # let the steal window pass before retrying
-            continue
-        t0 = time.perf_counter()
-        # OCR runs in task mode (per-worker engine cache): an actor pool
-        # would fuse the whole read→extract chain onto its reserved CPUs
-        # and cap parallelism at the pool size (measured 3× slower here).
-        extract_to_dir(corpus, out_dir, ocr=True, batch_size=2048)
-        dt = round(time.perf_counter() - t0, 3)
-        b1 = _burn()
-        if b1 > burn_gate:
-            discarded_trials.append(dt)
-            discarded_burns.append(b1)
-            continue
-        extract_trials.append(dt)
-        calib.extend([b0, b1])
-    if not extract_trials:
-        # every attempt hit a stolen window — report the discarded trials
-        # honestly rather than dying (the JSON marks them as unhealthy)
-        extract_trials = discarded_trials or [float("nan")]
+    # OCR runs in task mode (per-worker engine cache): an actor pool
+    # would fuse the whole read→extract chain onto its reserved CPUs
+    # and cap parallelism at the pool size (measured 3× slower here).
+    trials = gated_extract_trials(
+        lambda: extract_to_dir(corpus, out_dir, ocr=True, batch_size=2048),
+        out_dir,
+        n_trials=n_trials,
+        burn_gate=burn_gate,
+        max_attempts=max_attempts,
+        burn=_burn,
+    )
+    extract_trials = trials["extract_trials_sec"]
+    calib = trials["calibration_burn_sec"]
+    discarded_trials = trials["discarded_trials_sec"]
+    discarded_burns = trials["discarded_burns_sec"]
     timings["extract"] = min(extract_trials)
 
     # untimed: docs/pages for throughput from the narrow metric columns
+    # (gated_extract_trials guarantees out_dir holds extract output here)
     mt = pads.dataset(out_dir, format="parquet").to_table(
         columns=["status", "pages"]
     )
@@ -232,8 +280,7 @@ def run_bench(sf_dir: str, num_cpus: int, n_docs: int, replicas: int) -> dict:
             "docs_per_sec": round(docs_done / timings["extract"], 2),
             "pages_per_sec": round(pages / timings["extract"], 2),
             "warmup_extract_sec": warmup_extract_sec,
-            "warmup_extract_sec": warmup_extract_sec,
-        "extract_trials_sec": extract_trials,
+            "extract_trials_sec": extract_trials,
             "calibration_burn_sec": calib,
             "burn_gate_sec": burn_gate,
             "discarded_trials_sec": discarded_trials,

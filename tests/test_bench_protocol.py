@@ -20,6 +20,93 @@ class _FakeProc:
         self.stderr = stderr
 
 
+def _fake_extract(out_dir):
+    """Stand-in for extract_to_dir: (re)creates out_dir with one file."""
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "part-0.parquet"), "w") as f:
+        f.write("data")
+
+
+def test_all_discarded_at_pre_burn_keeps_out_dir(tmp_path):
+    """Round-4 driver crash regression: every attempt rejected at the
+    PRE-trial burn gate must leave out_dir (the warmup output) intact for
+    the metric readback — the r4 bench rmtree'd before the gate and died
+    with FileNotFoundError at the readback."""
+    out_dir = str(tmp_path / "out-32")
+    _fake_extract(out_dir)  # the warmup pass's output
+    extract_calls = {"n": 0}
+
+    def do_extract():
+        extract_calls["n"] += 1
+        _fake_extract(out_dir)
+
+    r = bench.gated_extract_trials(
+        do_extract, out_dir, n_trials=2, burn_gate=0.35,
+        max_attempts=6, burn=lambda: 9.9, sleep=lambda _s: None,
+    )
+    # no trial ever ran and no untimed re-extract was needed: the warmup
+    # output was never deleted
+    assert extract_calls["n"] == 0
+    assert os.path.exists(os.path.join(out_dir, "part-0.parquet"))
+    assert len(r["discarded_burns_sec"]) == 6
+    assert r["extract_trials_sec"] == [float("nan")] or (
+        r["extract_trials_sec"][0] != r["extract_trials_sec"][0]
+    )
+    json.dumps(r)  # the record stays serializable
+
+
+def test_all_discarded_no_prior_output_reruns_extract(tmp_path):
+    """If out_dir never existed (no warmup pass) and every attempt is
+    rejected pre-trial, the loop re-runs one untimed extract so the
+    readback still finds output."""
+    out_dir = str(tmp_path / "out-8")
+    extract_calls = {"n": 0}
+
+    def do_extract():
+        extract_calls["n"] += 1
+        _fake_extract(out_dir)
+
+    bench.gated_extract_trials(
+        do_extract, out_dir, n_trials=1, burn_gate=0.35,
+        max_attempts=3, burn=lambda: 9.9, sleep=lambda _s: None,
+    )
+    assert extract_calls["n"] == 1
+    assert os.path.exists(os.path.join(out_dir, "part-0.parquet"))
+
+
+def test_discard_at_post_burn_records_trial_and_keeps_output(tmp_path):
+    """A trial discarded at the POST-trial burn stays on the discarded
+    record and its output remains for the readback; the final fallback
+    reports discarded trials instead of NaN."""
+    out_dir = str(tmp_path / "out-16")
+    burns = iter([0.1, 9.9] * 3)  # b0 healthy, b1 stolen, every attempt
+
+    r = bench.gated_extract_trials(
+        lambda: _fake_extract(out_dir), out_dir, n_trials=1, burn_gate=0.35,
+        max_attempts=3, burn=lambda: next(burns), sleep=lambda _s: None,
+    )
+    assert len(r["discarded_trials_sec"]) == 3
+    # fallback: discarded trials reported honestly, not NaN
+    assert r["extract_trials_sec"] == r["discarded_trials_sec"]
+    assert os.path.exists(os.path.join(out_dir, "part-0.parquet"))
+
+
+def test_healthy_trials_clear_and_rewrite_out_dir(tmp_path):
+    """Healthy path: each kept trial clears the previous output and
+    rewrites it; burns land in pairs."""
+    out_dir = str(tmp_path / "out-4")
+    _fake_extract(out_dir)
+
+    r = bench.gated_extract_trials(
+        lambda: _fake_extract(out_dir), out_dir, n_trials=2, burn_gate=0.35,
+        max_attempts=6, burn=lambda: 0.1, sleep=lambda _s: None,
+    )
+    assert len(r["extract_trials_sec"]) == 2
+    assert len(r["calibration_burn_sec"]) == 4
+    assert r["discarded_trials_sec"] == [] and r["discarded_burns_sec"] == []
+    assert os.path.exists(os.path.join(out_dir, "part-0.parquet"))
+
+
 def test_failed_leg_raises_with_stderr(monkeypatch):
     monkeypatch.setattr(
         subprocess,

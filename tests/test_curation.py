@@ -696,73 +696,56 @@ def test_passage_dedup_corpus_excises_common_windows(ray_session):
     assert got[3] == ("tiny doc", 2)
 
 
-def test_query_window_holds_round4_entries():
-    """Regression guard for the correctness driver's 50-entry window: every
-    operator whose internals changed in round 4 (window-hash mixer, shared
-    content-hash, bucketed windows, escaped HTML corpus) AND every entry
-    rotated in from the r3 tail must sit INSIDE the first 50 queries()
-    entries, so each has a driver-green row within rounds 3-4."""
+def test_query_window_holds_round5_entries():
+    """Regression guard for the correctness driver's 50-entry window.
+    Round-5 policy (VERDICT r4 next-round #2): anything new or changed in
+    round N sits INSIDE the first 50 queries() entries in round N. The
+    five round-4 additions (never driver-checked before) plus every
+    operator touched in round 5 must be in the window; the five
+    twice-proven shared content-hash consumers rotated to the tail."""
     import __ray_entry__ as e
 
     keys = list(e.queries())
     window = set(keys[:50])
-    changed_r4 = [
-        "html_main_content",
-        "html_extract_tokens",
-        "passage_stats",
-        "passage_dedup",
-        "mixture_plan",
-        "mixture_materialize",
-        "dedup_against",
-        "shuffle_rank",
-        "hash_sample",
-        "split_assign_grouped",
-        "sessionize",
-        "sessionize_bucketed",
-        "running_event_counts",
-        "asof_join",
-    ]
-    rotated_in = [
-        "distinct_users_by_type",
-        "seen_probe",
-        "top_users_by_type",
-        "sliding_event_counts",
-        "orders_price_bands",
-        "approx_distinct_users",
-        "customers_without_orders",
-        "orders_by_segment_hashjoin",
-        "top_terms",
-        "heavy_hitters",
-        "lineitem_pricing",
-        "orders_by_nation",
-        "text_stats",
-        "quality_filter",
-        "token_count",
-        "fingerprint",
-        "rolling_fingerprint",
-        "winnow_fingerprints",
-        "normalize_text",
-        "text_embed",
-        "text_embed_fingerprint",
-        "lang_id",
-        "lang_distribution",
-        "frame_sample",
-        "audio_energy",
-    ]
-    for name in changed_r4 + rotated_in:
-        assert name in window, f"{name} fell out of the driver window"
-    # and nothing was lost in the rotation: no duplicates; the round-4
-    # additions (chunk_docs, bigram_top, tfidf_topk, semantic_dedup) sit
-    # in the tail — brand-new ops with no prior driver row to preserve
-    assert len(keys) == len(set(keys)) == 81
-    for name in (
+    changed_r5 = [
+        # round-4 additions entering the window for their first driver row
         "chunk_docs",
         "bigram_top",
         "tfidf_topk",
         "semantic_dedup",
         "lm_coverage",
+        # semantics pinned this round (ADVICE r4 #1)
+        "shuffle_rank",
+        # production (non-collecting) variants this round
+        "sessionize_bucketed",
+        "running_event_counts",
+        "asof_join",
+        # media decode family (JPEG 4:2:0 extension this round)
+        "media_decode",
+    ]
+    still_window = [
+        # flagship extraction surface — always in the window
+        "extract_flat",
+        "extract_windowed",
+        "ocr_spans",
+        "exact_dedup",
+        "passage_stats",
+        "passage_dedup",
+    ]
+    for name in changed_r5 + still_window:
+        assert name in window, f"{name} fell out of the driver window"
+    # rotated OUT this round: twice-proven (driver-green r3 AND r4),
+    # unchanged in r5 — still covered by pytest + check_queries
+    for name in (
+        "hash_sample",
+        "split_assign_grouped",
+        "dedup_against",
+        "mixture_plan",
+        "mixture_materialize",
     ):
         assert name in keys[50:], f"{name} should be in the tail"
+    # nothing lost in the rotation: no duplicates, full surface intact
+    assert len(keys) == len(set(keys)) == 81
 
 
 def test_common_window_set_restores_shuffle_flag(ray_session):
