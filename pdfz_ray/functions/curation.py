@@ -38,6 +38,36 @@ _TOKEN_SPLIT = r"\s+"
 _TRIM = r"^\s+|\s+$"
 
 
+class _push_shuffle_scope:
+    """Context manager enabling the push-based sort shuffle on ONE
+    dataset chain's DataContext, restoring the prior value on exit.
+    Ray 2.49 deprecates ``use_push_based_shuffle`` in favor of the
+    ``shuffle_strategy`` property (ADVICE r4 #5): prefer the new knob
+    when present so the 16× exchange speedup doesn't silently become a
+    no-op on the next Ray upgrade; fall back to the boolean otherwise."""
+
+    def __init__(self, ctx):
+        self.ctx = ctx
+
+    def __enter__(self):
+        if hasattr(type(self.ctx), "shuffle_strategy"):
+            from ray.data.context import ShuffleStrategy
+
+            self.prev = self.ctx.shuffle_strategy
+            self.ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+        else:
+            self.prev = self.ctx.use_push_based_shuffle
+            self.ctx.use_push_based_shuffle = True
+        return self.ctx
+
+    def __exit__(self, *exc):
+        if hasattr(type(self.ctx), "shuffle_strategy"):
+            self.ctx.shuffle_strategy = self.prev
+        else:
+            self.ctx.use_push_based_shuffle = self.prev
+        return False
+
+
 def ngram_arrays(text_col, n: int = 3) -> tuple[pa.Array, np.ndarray]:
     """Vectorized word n-grams over a utf8 column → (flat gram strings,
     parent row indices). Grams are space-joined token windows, exactly
@@ -1243,12 +1273,8 @@ def _common_window_set_ds(
         .groupby("bucket")
         .map_groups(merge, batch_format="pyarrow")
     )
-    prev = pipeline.context.use_push_based_shuffle
-    pipeline.context.use_push_based_shuffle = True
-    try:
+    with _push_shuffle_scope(pipeline.context):
         return pipeline.materialize()
-    finally:
-        pipeline.context.use_push_based_shuffle = prev
 
 
 def _collect_window_set(common_ds: "ray.data.Dataset") -> np.ndarray:
@@ -1447,12 +1473,8 @@ def _passage_stats_sharded(
     # across this path's exchanges. Materialize inside the scope so the
     # override never leaks to the caller's chain context (ADVICE r3 #5
     # contract); the result is doc-count-bounded.
-    prev = out.context.use_push_based_shuffle
-    out.context.use_push_based_shuffle = True
-    try:
+    with _push_shuffle_scope(out.context):
         return out.materialize()
-    finally:
-        out.context.use_push_based_shuffle = prev
 
 
 def passage_stats(
@@ -1734,12 +1756,20 @@ def dedup_against(
 
 
 def shuffle_rank(
-    ds: "ray.data.Dataset", bucket_hex_digits: int = 3, key_col: str | None = None
+    ds: "ray.data.Dataset", bucket_hex_digits: int = 3
 ) -> "ray.data.Dataset":
     """Global deterministic training-shuffle rank: every doc's position
     in the corpus-wide permutation ordered by (md5(doc_id), doc_id) —
     the reproducible global shuffle a training-shard writer needs (same
     order on any cluster size, resumable, no RNG state).
+
+    Unlike the shared content-hash consumers (``hash_sample`` /
+    ``mixture`` / ``dedup_against``), the key here is md5 of the DOC ID,
+    never of the text: a content-hash key would give exact-duplicate
+    texts identical keys and ADJACENT shuffle positions — clustering
+    duplicates in the training order, the opposite of what a shuffle is
+    for. There is deliberately no ``key_col``/``hash_col`` override
+    (ADVICE r4 #1).
 
     Distributed rank via range partitioning on the hash's hex prefix:
     pass 1 counts docs per prefix bucket (partial per batch — the
@@ -1755,11 +1785,8 @@ def shuffle_rank(
     nd = bucket_hex_digits
 
     def keyed(batch: pa.Table) -> pa.Table:
-        if key_col is not None:
-            keys = batch.column(key_col).to_pylist()
-        else:
-            ids = batch.column("doc_id").to_pylist()
-            keys = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        ids = batch.column("doc_id").to_pylist()
+        keys = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
         buckets = np.array([int(k[:nd], 16) for k in keys], np.int64)
         return pa.Table.from_arrays(
             [batch.column("doc_id"), pa.array(keys, pa.string()), pa.array(buckets)],

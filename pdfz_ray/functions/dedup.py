@@ -52,7 +52,9 @@ def exact_dedup_docs(
     (e.g. from ``curation.with_content_hash``) so a composed pipeline
     pays the per-doc md5 pass once across every hash-keyed operator
     (r3 review item #5 — same contract as hash_sample / mixture /
-    dedup_against / shuffle_rank); default self-hashes.
+    dedup_against; NOT shuffle_rank, whose key is md5(doc_id) by design —
+    a content key would cluster duplicate texts adjacently in the
+    training order, see its docstring); default self-hashes.
     """
     from ray.data.aggregate import Count, Min
 
@@ -1144,6 +1146,86 @@ def embedding_neardup_pairs(
     return out.take(pa.array(order))
 
 
+def _earlier_neighbor_mask(
+    x: np.ndarray, threshold: float, B: int = 2048
+) -> np.ndarray:
+    """EXACT within-group mark: dropped[i] ⇔ ∃ j < i (row order = keep
+    order) with cos(i, j) ≥ threshold. Blocked so a skewed group costs
+    O(B·n) temp memory, not n²; compute is O(n²/2) matmul flops."""
+    n = len(x)
+    dropped = np.zeros(n, bool)
+    for s in range(0, n, B):
+        e = min(s + B, n)
+        sims = x[s:e] @ x[:e].T  # rows: i in [s, e); cols: j < e
+        mask = np.tril(np.ones((e - s, e), bool), k=s - 1)  # j < i
+        dropped[s:e] = ((sims >= threshold) & mask).any(axis=1)
+    return dropped
+
+
+def _earlier_survivor_mask(
+    x: np.ndarray, threshold: float, B: int = 2048
+) -> np.ndarray:
+    """Survivor-pruned mark for LSH-unsplittable dense masses: dropped[i]
+    ⇔ i has an earlier IN-BLOCK neighbor OR an earlier SURVIVOR at cosine
+    ≥ threshold. Sound (every drop is justified by a genuine earlier
+    neighbor, so exact duplicates are always caught — an exact dup's
+    earlier twin is either a survivor, or was itself dropped by an even
+    earlier vector that the dup also matches at the same cosine) but may
+    MISS drops the exact rule makes via dropped non-survivors. Compute is
+    O(n·(s + B)) for s survivors — near-linear on the near-identical
+    profile SemDeDup targets (s stays tiny), degrading toward the exact
+    cost only when the mass is diverse yet LSH-colliding."""
+    n = len(x)
+    dropped = np.zeros(n, bool)
+    surv = np.empty((0, x.shape[1]), np.float64)
+    for s in range(0, n, B):
+        e = min(s + B, n)
+        blk = x[s:e]
+        d = np.zeros(e - s, bool)
+        if len(surv):
+            d |= (blk @ surv.T >= threshold).any(axis=1)
+        sims = blk @ blk.T
+        mask = np.tril(np.ones((e - s, e - s), bool), k=-1)
+        d |= ((sims >= threshold) & mask).any(axis=1)
+        dropped[s:e] = d
+        surv = np.vstack([surv, blk[~d]])
+    return dropped
+
+
+def _capped_cluster_mark(
+    x: np.ndarray, threshold: float, cluster_cap: int | None, seed: int
+) -> tuple[np.ndarray, int]:
+    """Per-cluster mark with a population cap (VERDICT r4 next-round #5).
+    ``x`` must already be in keep order. At or under the cap: the exact
+    lower-triangular scan. Above it: sub-shard the cluster into
+    hyperplane-LSH buckets (``similarity.HyperplaneHasher`` — the bucket
+    id depends only on the vector, so exact duplicates always share a
+    bucket) with ceil(log2(n/cap)) planes and mark within each bucket;
+    a bucket that STILL exceeds the cap is directionally concentrated
+    (hyperplanes cannot split it) and falls back to the survivor-pruned
+    scan, which is near-linear exactly on that profile. The capped path
+    is sound-but-incomplete vs the exact rule: it never drops a vector
+    without a genuine earlier ≥-threshold neighbor, and always drops
+    exact duplicates. Returns (dropped, n_buckets_used)."""
+    from pdfz_ray.functions.similarity import HyperplaneHasher
+
+    n = len(x)
+    if cluster_cap is None or n <= cluster_cap:
+        return _earlier_neighbor_mask(x, threshold), 1
+    planes = min(20, max(1, int(np.ceil(np.log2(n / cluster_cap)))))
+    buckets = HyperplaneHasher(x.shape[1], planes=planes, seed=seed).bucket(x)
+    dropped = np.zeros(n, bool)
+    uniq = np.unique(buckets)
+    for b in uniq:
+        sel = np.flatnonzero(buckets == b)  # ascending ⇒ keep order kept
+        xb = x[sel]
+        if len(sel) <= cluster_cap:
+            dropped[sel] = _earlier_neighbor_mask(xb, threshold)
+        else:
+            dropped[sel] = _earlier_survivor_mask(xb, threshold)
+    return dropped, len(uniq)
+
+
 def semantic_dedup(
     ds: "ray.data.Dataset",
     n_clusters: int = 8,
@@ -1151,6 +1233,7 @@ def semantic_dedup(
     train_sample: int = 4096,
     seed: int = 42,
     keep: str = "min_id",
+    cluster_cap: int | None = 100_000,
 ) -> pa.Table:
     """SemDeDup-style semantic deduplication (Abbas et al.,
     arXiv:2303.09540): cluster embeddings with seeded spherical k-means,
@@ -1172,12 +1255,18 @@ def semantic_dedup(
         "dropped" = any earlier-id neighbor ≥ threshold.
 
     Scale notes: cluster populations bound the matmul (at 100 TB run with
-    n_clusters ~ n/1e4 as the paper does, and sub-shard any cluster above
-    a size cap with the LSH-bucket path); the groupby shuffles (vec_id,
-    cluster, embedding) once. Returns (vec_id, cluster, dropped) for every
-    input row, sorted by vec_id. Not SQL-expressible (k-means state) —
+    n_clusters ~ n/1e4 as the paper does); a degenerate cluster above
+    ``cluster_cap`` vectors is sub-sharded by :func:`_capped_cluster_mark`
+    (hyperplane-LSH buckets; survivor-pruned scan for directionally
+    concentrated masses the hyperplanes cannot split), so per-cluster
+    compute is bounded ~cap² per bucket instead of |cluster|² — the
+    capped path is sound-but-incomplete (never a false drop, exact
+    duplicates always drop). The groupby shuffles (vec_id, cluster,
+    embedding) once. Returns (vec_id, cluster, dropped) for every input
+    row, sorted by vec_id. Not SQL-expressible (k-means state) —
     correctness is pinned by pytest: n_clusters=1 equals the exact
-    brute-force rule, plus determinism and full-coverage invariants.
+    brute-force rule, plus determinism, full-coverage and cap-path
+    (engagement + soundness + planted-dup) invariants.
     """
     from pdfz_ray.functions.similarity import _kmeans_fit, _normalize, _to_matrix
 
@@ -1221,15 +1310,11 @@ def semantic_dedup(
             order = np.argsort(ids, kind="stable")
         ids = ids[order]
         x = x[order]
-        # dropped[i] ⇔ ∃ j < i with cos(i, j) ≥ threshold. Blocked so a
-        # skewed cluster costs O(B·|cluster|) temp memory, not |cluster|²
-        B = 2048
-        dropped = np.zeros(len(ids), bool)
-        for s in range(0, len(ids), B):
-            e = min(s + B, len(ids))
-            sims = x[s:e] @ x[:e].T  # rows: i in [s, e); cols: j < e
-            mask = np.tril(np.ones((e - s, e), bool), k=s - 1)  # j < i
-            dropped[s:e] = ((sims >= threshold) & mask).any(axis=1)
+        # dropped[i] ⇔ ∃ j < i with cos(i, j) ≥ threshold — exact at or
+        # under cluster_cap, LSH-sub-sharded above it
+        dropped, _ = _capped_cluster_mark(
+            x, threshold, cluster_cap, seed=seed + 7919 * (int(g["cluster"].iloc[0]) + 1)
+        )
         return pd.DataFrame(
             {
                 "vec_id": ids,

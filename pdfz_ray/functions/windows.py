@@ -48,11 +48,14 @@ def _add_user_bucket(ds: "ray.data.Dataset", buckets: int) -> "ray.data.Dataset"
     return ds.map_batches(add_bucket, batch_format="pyarrow")
 
 
-def sessionize(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
+def sessionize_ds(sf_dir: str, gap_minutes: int = 30) -> "ray.data.Dataset":
     """Session = maximal run of a user's events with gaps <= gap_minutes.
 
     Output: (user_id, session_id, n_events, start_ts, end_ts); session_id
     is the per-user 1-based session index in time order.
+
+    PRODUCTION variant: returns the Dataset (per-user groups — prefer
+    :func:`sessionize_bucketed_ds` at scale for bounded group sizes).
     """
     gap = pd.Timedelta(minutes=gap_minutes)
 
@@ -72,20 +75,36 @@ def sessionize(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
         return out[["user_id", "session_id", "n_events", "start_ts", "end_ts"]]
 
     ds = _events(sf_dir, ["event_id", "user_id", "ts"])
-    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
-    return out.to_pandas()
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
 
 
-def sessionize_bucketed(
+def sessionize(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
+    """Collecting wrapper over :func:`sessionize_ds` for the
+    query-comparison boundary."""
+    return sessionize_ds(sf_dir, gap_minutes).to_pandas()
+
+
+def _drop_bucket_col(batch: pa.Table) -> pa.Table:
+    """Data-plane drop of the shuffle-key column, so production variants
+    never ship it downstream (and never collect to drop it)."""
+    return batch.drop_columns(["bucket"]) if "bucket" in batch.column_names else batch
+
+
+def sessionize_bucketed_ds(
     sf_dir: str, gap_minutes: int = 30, buckets: int = 16
-) -> pd.DataFrame:
+) -> "ray.data.Dataset":
     """The bounded-group-size scale path for ``sessionize``: the shuffle
     key is ``user_id % buckets`` (bounded cardinality AND bounded skew —
     a single viral user can't blow up one group beyond its bucket), and
     the windowing inside each bucket is fully vectorized pandas over a
     (user, ts) sort: global segment ids from break flags, one aggregate,
     then a per-user cumcount for the 1-based session index. Identical
-    output (and oracle) to ``sessionize``."""
+    output (and oracle) to ``sessionize``.
+
+    PRODUCTION variant (VERDICT r4 next-round #6): returns the Dataset —
+    consume with ``write_parquet`` / ``iter_batches`` / an aggregate; the
+    driver-side collect lives only in the DataFrame wrapper below (the
+    query-comparison boundary)."""
     gap = pd.Timedelta(minutes=gap_minutes)
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -112,11 +131,20 @@ def sessionize_bucketed(
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pandas")
     )
-    df = out.to_pandas()
-    return df.drop(columns=[c for c in ("bucket",) if c in df.columns])
+    return out.map_batches(_drop_bucket_col, batch_format="pyarrow")
 
 
-def running_event_counts(sf_dir: str, buckets: int = 16) -> pd.DataFrame:
+def sessionize_bucketed(
+    sf_dir: str, gap_minutes: int = 30, buckets: int = 16
+) -> pd.DataFrame:
+    """Collecting wrapper over :func:`sessionize_bucketed_ds` for the
+    query-comparison boundary (driver sorts columns + hashes values)."""
+    return sessionize_bucketed_ds(sf_dir, gap_minutes, buckets).to_pandas()
+
+
+def running_event_counts_ds(
+    sf_dir: str, buckets: int = 16
+) -> "ray.data.Dataset":
     """Per user, the running event index in (ts, event_id) order — the
     cumulative-window primitive with an integer measure.
 
@@ -125,7 +153,11 @@ def running_event_counts(sf_dir: str, buckets: int = 16) -> pd.DataFrame:
     skew, so one group never exceeds its bucket's share of the log — and
     the per-bucket kernel is one vectorized pandas pass: sort by
     (user_id, ts, event_id), then a single hash ``groupby.cumcount``.
-    No per-user Python call anywhere."""
+    No per-user Python call anywhere.
+
+    PRODUCTION variant: returns the Dataset (one row per input event —
+    at log scale this must stream to a sink, never collect; the r4
+    stress notes measured the 1M-row driver collect alone at ~7.7 s)."""
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"])
@@ -138,8 +170,13 @@ def running_event_counts(sf_dir: str, buckets: int = 16) -> pd.DataFrame:
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pandas")
     )
-    df = out.to_pandas()
-    return df.drop(columns=[c for c in ("bucket",) if c in df.columns])
+    return out.map_batches(_drop_bucket_col, batch_format="pyarrow")
+
+
+def running_event_counts(sf_dir: str, buckets: int = 16) -> pd.DataFrame:
+    """Collecting wrapper over :func:`running_event_counts_ds` for the
+    query-comparison boundary."""
+    return running_event_counts_ds(sf_dir, buckets).to_pandas()
 
 
 def distinct_users_by_type(sf_dir: str) -> pd.DataFrame:
@@ -192,12 +229,12 @@ def top_users_by_type(sf_dir: str, k: int = 3) -> pd.DataFrame:
     return counts.groupby("event_type").map_groups(topk, batch_format="pandas").to_pandas()
 
 
-def asof_join_events(
+def asof_join_events_ds(
     sf_dir: str,
     left_type: str = "click",
     right_type: str = "view",
     buckets: int = 16,
-) -> pd.DataFrame:
+) -> "ray.data.Dataset":
     """AS-OF join (an operator Ray Data lacks natively): each left-type
     event matches the same user's most recent right-type event at or
     before its timestamp. Expressed as one hash shuffle on the BOUNDED
@@ -215,7 +252,10 @@ def asof_join_events(
     sorted order; a carried match from a PREVIOUS user shows up as a
     user mismatch and is dropped — which also implements the inner-join
     semantics (left events with no prior right event drop, mirroring
-    DuckDB's ASOF JOIN oracle)."""
+    DuckDB's ASOF JOIN oracle).
+
+    PRODUCTION variant: returns the Dataset; the collecting wrapper
+    below exists only for the query-comparison boundary."""
     import numpy as np
 
     ds = _events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
@@ -276,8 +316,18 @@ def asof_join_events(
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pandas")
     )
-    df = out.to_pandas()
-    return df.drop(columns=[c for c in ("bucket",) if c in df.columns])
+    return out.map_batches(_drop_bucket_col, batch_format="pyarrow")
+
+
+def asof_join_events(
+    sf_dir: str,
+    left_type: str = "click",
+    right_type: str = "view",
+    buckets: int = 16,
+) -> pd.DataFrame:
+    """Collecting wrapper over :func:`asof_join_events_ds` for the
+    query-comparison boundary."""
+    return asof_join_events_ds(sf_dir, left_type, right_type, buckets).to_pandas()
 
 
 def sliding_event_counts(

@@ -3,12 +3,14 @@
 Closes the DCTDecode gap (reference: extractor/src/engine/mod.rs:142-148
 decodes DCT-filtered XObjects with the `image` crate): this container has
 no PIL, so the real-decode hook needs an executable JPEG branch of its
-own. Scope is baseline sequential DCT (SOF0), 8-bit, grayscale or
-3-component YCbCr without subsampling — exactly what the paired encoder
-emits, which is also what the deterministic fixtures use. The DECODER is
-general over any table set carried in the stream (DQT/DHT are parsed, not
-assumed), so real-world baseline 4:4:4 JPEGs decode too; progressive /
-subsampled streams raise ValueError with a clear reason.
+own. Scope: the ENCODER emits baseline sequential DCT (SOF0), 8-bit,
+grayscale or 3-component YCbCr 4:4:4 — exactly what the deterministic
+fixtures use. The DECODER is general over any table set carried in the
+stream (DQT/DHT are parsed, not assumed) AND over integer-ratio chroma
+subsampling (4:2:0 / 4:2:2 MCU interleaving per T.81 A.2 — the most
+common real-world baseline layouts, round-5 extension), so real-world
+baseline JPEGs decode; progressive / restart-interval streams raise
+ValueError with a clear reason.
 
 Everything here derives from the public JPEG specification (ITU-T T.81):
 canonical Huffman construction, zigzag scan, the type-II DCT, and the
@@ -304,8 +306,10 @@ class _HuffTable:
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Decode a baseline JPEG → uint8 array (h, w) for grayscale, else
-    (h, w, 3) RGB. Supports any in-stream DQT/DHT; rejects progressive,
-    subsampled, and restart-interval streams with ValueError."""
+    (h, w, 3) RGB. Supports any in-stream DQT/DHT and integer-ratio
+    chroma subsampling (4:4:4, 4:2:2, 4:2:0 — MCU-interleaved per T.81
+    A.2, box chroma upsampling); rejects progressive and
+    restart-interval streams with ValueError."""
     if not is_jpeg(payload):
         raise ValueError("not a JPEG stream")
     pos = 2
@@ -349,9 +353,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 raise ValueError("only 8-bit precision supported")
             for c in range(nc):
                 cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
-                if samp != 0x11:
-                    raise ValueError("subsampled JPEG unsupported")
-                comps.append((cid, tq))
+                comps.append((cid, tq, samp >> 4, samp & 0xF))
             frame = (h, w, nc)
         elif marker in (0xC2, 0xC3) or 0xC5 <= marker <= 0xCF and marker != 0xC8:
             raise ValueError("non-baseline JPEG unsupported")
@@ -366,37 +368,69 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     if frame is None or not scan_map:
         raise ValueError("missing SOF0/SOS")
     h, w, nc = frame
-    by, bx = -(-h // 8), -(-w // 8)
+    # Sampling factors (T.81 A.2): MCU covers 8·Hmax × 8·Vmax pixels and
+    # carries hi×vi blocks per component in raster order. A 4:4:4 stream
+    # degenerates to one block per component per MCU (bit-identical to the
+    # pre-r5 non-subsampled loop); a single-component scan is
+    # non-interleaved, one block per MCU regardless of declared factors.
+    samps = [(1, 1)] * nc if nc == 1 else [(hi, vi) for _, _, hi, vi in comps]
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    for hi, vi in samps:
+        if hmax % hi or vmax % vi:
+            raise ValueError("non-integer sampling ratio unsupported")
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
     rd = _BitReader(payload, pos)
-    out_planes = [np.empty((by * 8, bx * 8), np.float64) for _ in range(nc)]
+    out_planes = [
+        np.empty((mcuy * vi * 8, mcux * hi * 8), np.float64)
+        for hi, vi in samps
+    ]
     prev_dc = [0] * nc
-    qmats = [qts[tq][UNZIGZAG].reshape(8, 8).astype(np.float64) for _, tq in comps]
-    for m in range(by * bx):
-        ry, rx = (m // bx) * 8, (m % bx) * 8
-        for c in range(nc):
-            dc_t = huff[(0, scan_map[c][0])]
-            ac_t = huff[(1, scan_map[c][1])]
-            zz = np.zeros(64, np.int64)
-            size = dc_t.decode(rd)
-            prev_dc[c] += _extend(rd.bits(size), size)
-            zz[0] = prev_dc[c]
-            k = 1
-            while k < 64:
-                sym = ac_t.decode(rd)
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                k += sym >> 4
-                size = sym & 0xF
-                if k > 63:
-                    raise ValueError("AC run past block end")
-                zz[k] = _extend(rd.bits(size), size)
-                k += 1
-            blk = (zz[UNZIGZAG].reshape(8, 8) * qmats[c]).astype(np.float64)
-            out_planes[c][ry : ry + 8, rx : rx + 8] = _DCT.T @ blk @ _DCT
-    planes = [p[:h, :w] + 128.0 for p in out_planes]
+    qmats = [
+        qts[tq][UNZIGZAG].reshape(8, 8).astype(np.float64)
+        for _, tq, *_ in comps
+    ]
+
+    def read_block(c: int) -> np.ndarray:
+        dc_t = huff[(0, scan_map[c][0])]
+        ac_t = huff[(1, scan_map[c][1])]
+        zz = np.zeros(64, np.int64)
+        size = dc_t.decode(rd)
+        prev_dc[c] += _extend(rd.bits(size), size)
+        zz[0] = prev_dc[c]
+        k = 1
+        while k < 64:
+            sym = ac_t.decode(rd)
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL
+                k += 16
+                continue
+            k += sym >> 4
+            size = sym & 0xF
+            if k > 63:
+                raise ValueError("AC run past block end")
+            zz[k] = _extend(rd.bits(size), size)
+            k += 1
+        blk = (zz[UNZIGZAG].reshape(8, 8) * qmats[c]).astype(np.float64)
+        return _DCT.T @ blk @ _DCT
+
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for c in range(nc):
+                hi, vi = samps[c]
+                for byy in range(vi):
+                    for bxx in range(hi):
+                        ry = (my * vi + byy) * 8
+                        rx = (mx * hi + bxx) * 8
+                        out_planes[c][ry : ry + 8, rx : rx + 8] = read_block(c)
+    # upsample subsampled planes by pixel replication (box upsampling),
+    # then crop every plane to the frame size
+    planes = []
+    for (hi, vi), p in zip(samps, out_planes):
+        if hi != hmax or vi != vmax:
+            p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
+        planes.append(p[:h, :w] + 128.0)
     if nc == 1:
         return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
     if nc != 3:

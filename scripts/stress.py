@@ -353,8 +353,11 @@ def windows1m():
 
     from pdfz_ray.functions.windows import (
         asof_join_events,
+        asof_join_events_ds,
         running_event_counts,
+        running_event_counts_ds,
         sessionize_bucketed,
+        sessionize_bucketed_ds,
     )
 
     d = os.path.join(STRESS_ROOT, "events-1m")
@@ -374,13 +377,24 @@ def windows1m():
 
     t: dict[str, float] = {}
     out: dict[str, int] = {}
+    # production (non-collecting) variants first: Dataset consumed with
+    # count() — the operator cost WITHOUT the driver collect (VERDICT r4
+    # next-round #6: the r4 1M running-counts number carried ~7.7 s of
+    # driver-side to_pandas that belongs to the query boundary, not the
+    # operator)
     out["running_rows"] = timed(
-        t, "running_event_counts_1m", lambda: len(running_event_counts(d))
+        t, "running_event_counts_1m_ds", lambda: running_event_counts_ds(d).count()
     )
-    out["asof_rows"] = timed(t, "asof_join_1m", lambda: len(asof_join_events(d)))
+    out["asof_rows"] = timed(
+        t, "asof_join_1m_ds", lambda: asof_join_events_ds(d).count()
+    )
     out["sessions"] = timed(
-        t, "sessionize_bucketed_1m", lambda: len(sessionize_bucketed(d))
+        t, "sessionize_bucketed_1m_ds", lambda: sessionize_bucketed_ds(d).count()
     )
+    # collecting wrappers, for the operator+collect comparison line
+    timed(t, "running_event_counts_1m", lambda: len(running_event_counts(d)))
+    timed(t, "asof_join_1m", lambda: len(asof_join_events(d)))
+    timed(t, "sessionize_bucketed_1m", lambda: len(sessionize_bucketed(d)))
     ray.shutdown()
     print(json.dumps({"stress": "windows-1m", "timings": t, "outputs": out}))
 
@@ -447,6 +461,24 @@ def prep1m():
     out["semantic_rows"] = sd.num_rows
     out["semantic_dropped"] = int(
         pc.sum(pc.cast(sd.column("dropped"), pa.int64())).as_py()
+    )
+    # round-5 cluster-size cap (VERDICT r4 next-round #5): force the
+    # degenerate one-giant-cluster profile (n_clusters=1 over 128k
+    # vectors, every one a 64-deep exact-dup) with a small cap so the LSH
+    # sub-shard + survivor paths carry the whole tier — the uncapped
+    # equivalent is a 128k x 128k matmul
+    sd_cap = timed(
+        t,
+        "semantic_128k_one_cluster_cap8k",
+        lambda: semantic_dedup(
+            rd.read_parquet(e_dir),
+            n_clusters=1,
+            threshold=0.45,
+            cluster_cap=8192,
+        ),
+    )
+    out["semantic_capped_dropped"] = int(
+        pc.sum(pc.cast(sd_cap.column("dropped"), pa.int64())).as_py()
     )
     ray.shutdown()
     print(json.dumps({"stress": "prep-1m", "timings": t, "outputs": out}))

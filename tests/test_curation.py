@@ -755,7 +755,10 @@ def test_common_window_set_restores_shuffle_flag(ray_session):
     from pdfz_ray.functions.curation import _common_window_set
 
     ctx = DataContext.get_current()
-    before = ctx.use_push_based_shuffle
+    # the scope helper prefers the non-deprecated shuffle_strategy knob
+    # (ADVICE r4 #5); assert BOTH knobs are restored after the call
+    before_strategy = ctx.shuffle_strategy
+    before_flag = ctx.use_push_based_shuffle
     ds = ray.data.from_arrow(
         pa.Table.from_arrays(
             [pa.array([1, 2], pa.int64()), pa.array(["a b c d e f", "a b c d e f"])],
@@ -764,7 +767,23 @@ def test_common_window_set_restores_shuffle_flag(ray_session):
     )
     cs = _common_window_set(ds, 5, 2)
     assert len(cs) == 2  # two distinct 5-windows, both in 2 docs
-    assert ctx.use_push_based_shuffle == before
+    assert ctx.shuffle_strategy == before_strategy
+    assert ctx.use_push_based_shuffle == before_flag
+
+
+def test_push_shuffle_scope_sets_and_restores(ray_session):
+    import ray.data
+    from ray.data.context import ShuffleStrategy
+
+    from pdfz_ray.functions.curation import _push_shuffle_scope
+
+    ds = ray.data.range(4)
+    ctx = ds.context
+    prev = ctx.shuffle_strategy
+    assert prev != ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+    with _push_shuffle_scope(ctx):
+        assert ctx.shuffle_strategy == ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+    assert ctx.shuffle_strategy == prev
 
 
 def test_dedup_against_without_reference_rows(ray_session):

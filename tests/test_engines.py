@@ -205,6 +205,153 @@ def test_jpeg_codec_roundtrip_gradients_and_gray():
         decode_jpeg(b"\xff\xd8\xff\xdb\x00\x03\x00")  # truncated DQT
 
 
+def _encode_subsampled(y, cb, cr, samp, quality=95):
+    """Test-local MCU-interleaved encoder (T.81 A.2) over the module's own
+    primitives: ``cb``/``cr`` arrive at SUBSAMPLED resolution, ``samp`` is
+    the luma (hi, vi). Synthesizes the 4:2:0 / 4:2:2 streams the in-repo
+    encoder deliberately does not emit (VERDICT r4 next-round #7)."""
+    import numpy as np
+
+    from pdfz_ray.stages import jpeg_codec as jc
+
+    hi, vi = samp
+    h, w = y.shape
+    qt = jc._quant_table(quality)
+    qmat = qt[jc.UNZIGZAG].reshape(8, 8).astype(np.float64)
+
+    def pad_to(p, mh, mw):
+        ph, pw = p.shape
+        return np.pad(p, ((0, -ph % mh), (0, -pw % mw)), mode="edge")
+
+    def coeffs(plane):
+        blocks, by, bx = jc._blocks(plane.astype(np.float64) - 128.0)
+        flat = blocks.reshape(by * bx, 8, 8)
+        f = np.einsum("ij,njk,lk->nil", jc._DCT, flat, jc._DCT)
+        q = np.round(f / qmat).astype(np.int64)
+        return q.reshape(by * bx, 64)[:, jc.ZIGZAG], by, bx
+
+    yq, yby, ybx = coeffs(pad_to(y, 8 * vi, 8 * hi))
+    cbq, _, cbx = coeffs(pad_to(cb, 8, 8))
+    crq, _, _ = coeffs(pad_to(cr, 8, 8))
+    wtr = jc._BitWriter()
+    prev = [0, 0, 0]
+
+    def write_block(c, blk):
+        diff = int(blk[0]) - prev[c]
+        prev[c] = int(blk[0])
+        size = jc._category(diff)
+        code, ln = jc._DC_CODES[size]
+        wtr.write(code, ln)
+        if size:
+            wtr.write(jc._value_bits(diff, size), size)
+        run = 0
+        for k in range(1, 64):
+            v = int(blk[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                zc, zl = jc._AC_CODES[0xF0]
+                wtr.write(zc, zl)
+                run -= 16
+            s = jc._category(v)
+            c2, l2 = jc._AC_CODES[(run << 4) | s]
+            wtr.write(c2, l2)
+            wtr.write(jc._value_bits(v, s), s)
+            run = 0
+        if run:
+            ec, el = jc._AC_CODES[0x00]
+            wtr.write(ec, el)
+
+    mcuy, mcux = yby // vi, ybx // hi
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for byy in range(vi):
+                for bxx in range(hi):
+                    write_block(0, yq[(my * vi + byy) * ybx + mx * hi + bxx])
+            write_block(1, cbq[my * cbx + mx])
+            write_block(2, crq[my * cbx + mx])
+    scan = wtr.flush()
+
+    import struct
+
+    out = bytearray(b"\xff\xd8")
+    out += jc._seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += jc._seg(0xDB, bytes([0x00]) + bytes(qt.tolist()))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    sof += bytes([1, (hi << 4) | vi, 0, 2, 0x11, 0, 3, 0x11, 0])
+    out += jc._seg(0xC0, sof)
+    out += jc._seg(0xC4, jc._dht_payload(0, 0, jc._DC_CODES))
+    out += jc._seg(0xC4, jc._dht_payload(1, 0, jc._AC_CODES))
+    out += jc._seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    out += scan
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_decode_420_and_422_subsampled():
+    """Round-5 extension (VERDICT r4 next-round #7): the decoder handles
+    MCU-interleaved 4:2:0 / 4:2:2 chroma subsampling — the most common
+    real-world baseline layouts, which the reference's image-crate path
+    decodes (extractor/src/engine/mod.rs:142-148) and the pre-r5 decoder
+    rejected. Constant chroma subsamples losslessly, so the decode must
+    agree with the grayscale round-trip of the luma plane put through the
+    inverse YCbCr transform."""
+    import numpy as np
+
+    from pdfz_ray.stages.jpeg_codec import decode_jpeg, encode_jpeg
+
+    # 24x40: vertical dim is NOT an MCU multiple (24 % 16 = 8), so the
+    # crop path is exercised; smooth luma, constant chroma
+    h, w = 24, 40
+    y = ((np.add.outer(np.arange(h) * 3, np.arange(w) * 2) % 200) + 20).astype(
+        np.uint8
+    )
+    cb0, cr0 = 100.0, 160.0
+    for samp in ((2, 2), (2, 1)):  # 4:2:0 then 4:2:2
+        hi, vi = samp
+        cb = np.full((-(-h // vi), -(-w // hi)), cb0)
+        cr = np.full((-(-h // vi), -(-w // hi)), cr0)
+        stream = _encode_subsampled(y, cb, cr, samp)
+        dec = decode_jpeg(stream)
+        assert dec.shape == (h, w, 3), samp
+        # expected: decoded luma (identical coeffs to the gray round-trip
+        # at the same quality/tables) through the inverse YCbCr with the
+        # exactly-reconstructed constant chroma
+        ydec = decode_jpeg(encode_jpeg(y, quality=95)).astype(np.float64)
+        exp = np.stack(
+            [
+                ydec + 1.402 * (cr0 - 128.0),
+                ydec - 0.344136 * (cb0 - 128.0) - 0.714136 * (cr0 - 128.0),
+                ydec + 1.772 * (cb0 - 128.0),
+            ],
+            axis=-1,
+        )
+        exp = np.clip(np.round(exp), 0, 255)
+        assert np.abs(dec.astype(np.float64) - exp).max() <= 2, samp
+    # 4:4:4 color and grayscale round-trips are unchanged (covered above);
+    # non-integer sampling ratios still refuse loudly
+    bad = _encode_subsampled(
+        y, np.full((h // 2, -(-w * 2 // 3)), cb0), np.full((h // 2, -(-w * 2 // 3)), cr0), (3, 2)
+    )
+    try:
+        decode_jpeg(bad)
+    except ValueError:
+        pass  # (3, 2) vs (1, 1): 3 % 1 == 0, so this may legally decode
+    # an explicit non-divisor pair must raise: craft hmax=3 with hi=2
+    import pytest as _pytest
+
+    from pdfz_ray.stages import jpeg_codec as jc
+
+    stream = bytearray(_encode_subsampled(y, cb, cr, (2, 2)))
+    i = bytes(stream).find(b"\xff\xc0")
+    # comp 2's sampling byte: SOF payload starts at i+4; comps at +6
+    stream[i + 4 + 6 + 3 * 1 + 1] = 0x21  # comp2 hi=2 with hmax=2, vi=1 vs vmax=2 ok
+    stream[i + 4 + 6 + 0 * 3 + 1] = 0x32  # comp1 (3,2): vmax=2, hmax=3, comp2 hi=2 → 3%2!=0
+    with _pytest.raises(ValueError, match="non-integer sampling"):
+        jc.decode_jpeg(bytes(stream))
+
+
 # ---------------------------------------------------------------------------
 # Pure-stdlib PNG codec (VERDICT r2 next-round #7): the real-decode hook now
 # has an executable branch in THIS container — a hand-built PNG fixture with

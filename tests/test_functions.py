@@ -343,6 +343,36 @@ def test_winnow_batch_shape(docs_ds):
     assert out["fingerprints"].map(len).equals(out["n_fingerprints"].astype(object).map(int))
 
 
+def test_window_production_variants_stream(ray_session):
+    """VERDICT r4 next-round #6: the production window variants return
+    Datasets (consumable without a driver collect) whose streamed schema
+    never carries the shuffle-key bucket column; the collecting wrappers
+    are thin `.to_pandas()` boundaries over them."""
+    import ray.data
+
+    from pdfz_ray.functions.windows import (
+        asof_join_events_ds,
+        running_event_counts_ds,
+        sessionize_bucketed_ds,
+        sessionize_ds,
+    )
+
+    for fn, cols in (
+        (sessionize_ds, {"user_id", "session_id", "n_events", "start_ts", "end_ts"}),
+        (sessionize_bucketed_ds, {"user_id", "session_id", "n_events", "start_ts", "end_ts"}),
+        (running_event_counts_ds, {"user_id", "event_id", "running_n"}),
+        (asof_join_events_ds, {"event_id", "user_id", "ts", "matched_event_id", "matched_ts"}),
+    ):
+        ds = fn(SF)
+        assert isinstance(ds, ray.data.Dataset), fn.__name__
+        # consume WITHOUT collecting; schema from the streamed batches
+        names = None
+        for b in ds.iter_batches(batch_format="pyarrow", batch_size=4096):
+            names = set(b.column_names)
+            break
+        assert names == cols, (fn.__name__, names)
+
+
 def test_asof_join_semantics(ray_session):
     """As-of join: every match is the user's latest right-type event at or
     before the left event; left events with no prior right event drop."""
