@@ -137,6 +137,11 @@ def run_bench(sf_dir: str, num_cpus: int, n_docs: int, replicas: int) -> dict:
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        # keep worker stdout/stderr OFF this process's stdout: a stray
+        # forwarded worker log line around the final JSON print would
+        # break the driver's (and run_scaling's) last-line JSON parse —
+        # one leaked into a round-5 run's stdout ahead of the JSON
+        log_to_driver=False,
     )
     from ray.data import DataContext
 
