@@ -236,9 +236,9 @@ def _doc_term_rows(batch: pa.Table) -> pa.Table:
     )
 
 
-def tfidf_topk(
+def tfidf_topk_ds(
     sf_dir: str, k: int = 3, docs_path: str | None = None
-) -> pd.DataFrame:
+) -> "ray.data.Dataset":
     """Per-document top-k TF-IDF terms — salient-keyword extraction for
     indexing / topic routing. Two passes, both pre-aggregated:
 
@@ -256,7 +256,8 @@ def tfidf_topk(
     Ranking uses the float64 quotient tf/df (monotone in tf·idf for fixed
     corpus size N) — IEEE division is bit-identical between numpy and the
     DuckDB twin's ``CAST(tf AS DOUBLE)/df``, and the term tie-break makes
-    ordering total. Emits (doc_id, term, tf, df), sorted by (doc_id, term).
+    ordering total. Emits (doc_id, term, tf, df) as a Dataset (k rows per
+    doc, unsorted — the collecting wrapper sorts at the query boundary).
 
     Single-tokenize (VERDICT r4 next-round #3): the narrow per-doc
     (terms, tfs) list projection is materialized ONCE in the object store
@@ -350,14 +351,23 @@ def tfidf_topk(
             names=["doc_id", "term", "tf", "df"],
         )
 
-    out = narrow.map_batches(score, batch_format="pyarrow").to_pandas()
-    out = out.sort_values(["doc_id", "term"]).reset_index(drop=True)
-    return out
+    return narrow.map_batches(score, batch_format="pyarrow")
 
 
-def lm_coverage(
-    sf_dir: str, min_count: int = 2, docs_path: str | None = None
+def tfidf_topk(
+    sf_dir: str, k: int = 3, docs_path: str | None = None
 ) -> pd.DataFrame:
+    """Collecting wrapper over :func:`tfidf_topk_ds` for the
+    query-comparison boundary (PRODUCTION consumers take the Dataset and
+    write out — at 10^9 docs the k·n result must never land on the
+    driver)."""
+    out = tfidf_topk_ds(sf_dir, k, docs_path).to_pandas()
+    return out.sort_values(["doc_id", "term"]).reset_index(drop=True)
+
+
+def lm_coverage_ds(
+    sf_dir: str, min_count: int = 2, docs_path: str | None = None
+) -> "ray.data.Dataset":
     """Per-doc language-model-coverage quality signal (the integer-exact
     analogue of CCNet-style LM perplexity filtering, Wenzek et al.,
     arXiv:1911.00359): for each document, how many of its adjacent-token
@@ -378,8 +388,9 @@ def lm_coverage(
          batch's bigrams against the broadcast set; n_rare =
          n_transitions − hits, folded per doc with one bincount.
 
-    Emits (doc_id, n_transitions, n_rare), sorted by doc_id — every
-    input doc appears (0/0 for docs with < 2 tokens)."""
+    Emits (doc_id, n_transitions, n_rare) as a Dataset — every input doc
+    appears (0/0 for docs with < 2 tokens); the collecting wrapper sorts
+    by doc_id at the query boundary."""
     from ray.data.aggregate import Sum
 
     from pdfz_ray.functions.curation import ngram_arrays
@@ -442,5 +453,14 @@ def lm_coverage(
             names=["doc_id", "n_transitions", "n_rare"],
         )
 
-    out = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def lm_coverage(
+    sf_dir: str, min_count: int = 2, docs_path: str | None = None
+) -> pd.DataFrame:
+    """Collecting wrapper over :func:`lm_coverage_ds` for the
+    query-comparison boundary (one row per input doc — production
+    consumers keep the Dataset)."""
+    out = lm_coverage_ds(sf_dir, min_count, docs_path).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)

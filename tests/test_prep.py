@@ -291,6 +291,26 @@ def test_lm_coverage_matches_duckdb(ray_session):
     assert got["doc_id"].is_unique and len(got) == 500
 
 
+def test_prep_production_variants_stream(ray_session):
+    """tfidf_topk_ds / lm_coverage_ds return Datasets consumable without
+    a driver collect (the windows-family production-variant contract)."""
+    import ray.data
+
+    from pdfz_ray.functions.prep import lm_coverage_ds, tfidf_topk_ds
+
+    for fn, cols in (
+        (tfidf_topk_ds, {"doc_id", "term", "tf", "df"}),
+        (lm_coverage_ds, {"doc_id", "n_transitions", "n_rare"}),
+    ):
+        ds = fn(SF)
+        assert isinstance(ds, ray.data.Dataset), fn.__name__
+        names = None
+        for b in ds.iter_batches(batch_format="pyarrow", batch_size=4096):
+            names = set(b.column_names)
+            break
+        assert names == cols, (fn.__name__, names)
+
+
 def test_lm_coverage_threshold_semantics(ray_session, tmp_path):
     """min_count=1 marks nothing rare (every bigram occurs >= 1 time);
     a huge min_count marks every transition rare."""
