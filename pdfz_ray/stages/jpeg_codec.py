@@ -7,10 +7,10 @@ own. Scope: the ENCODER emits baseline sequential DCT (SOF0), 8-bit,
 grayscale or 3-component YCbCr 4:4:4 — exactly what the deterministic
 fixtures use. The DECODER is general over any table set carried in the
 stream (DQT/DHT are parsed, not assumed) AND over integer-ratio chroma
-subsampling (4:2:0 / 4:2:2 MCU interleaving per T.81 A.2 — the most
-common real-world baseline layouts, round-5 extension), so real-world
-baseline JPEGs decode; progressive / restart-interval streams raise
-ValueError with a clear reason.
+subsampling (4:2:0 / 4:2:2 MCU interleaving per T.81 A.2) and restart
+intervals (DRI/RSTn) — the most common real-world baseline layouts,
+round-5 extensions — so real-world baseline JPEGs decode; progressive
+streams raise ValueError with a clear reason.
 
 Everything here derives from the public JPEG specification (ITU-T T.81):
 canonical Huffman construction, zigzag scan, the type-II DCT, and the
@@ -154,6 +154,19 @@ class _BitReader:
         for _ in range(n):
             v = (v << 1) | self.bit()
         return v
+
+    def restart(self) -> None:
+        """Consume an RSTn marker at a restart boundary (T.81 E.1.4):
+        discard the pad bits of the current byte, then expect 0xFFD0–D7."""
+        self.acc = 0
+        self.nbits = 0
+        if not (
+            self.pos + 1 < len(self.data)
+            and self.data[self.pos] == 0xFF
+            and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            raise ValueError("expected restart marker")
+        self.pos += 2
 
 
 # --- value coding -----------------------------------------------------------
@@ -306,15 +319,17 @@ class _HuffTable:
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Decode a baseline JPEG → uint8 array (h, w) for grayscale, else
-    (h, w, 3) RGB. Supports any in-stream DQT/DHT and integer-ratio
-    chroma subsampling (4:4:4, 4:2:2, 4:2:0 — MCU-interleaved per T.81
-    A.2, box chroma upsampling); rejects progressive and
-    restart-interval streams with ValueError."""
+    (h, w, 3) RGB. Supports any in-stream DQT/DHT, integer-ratio chroma
+    subsampling (4:4:4, 4:2:2, 4:2:0 — MCU-interleaved per T.81 A.2, box
+    chroma upsampling), and restart intervals (DRI + RSTn, DC predictors
+    reset per T.81 E.1.4); rejects progressive streams with
+    ValueError."""
     if not is_jpeg(payload):
         raise ValueError("not a JPEG stream")
     pos = 2
     qts: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], _HuffTable] = {}
+    restart_interval = 0
     frame = None
     comps: list[tuple[int, int]] = []  # (comp_id, quant_table_id)
     scan_map: list[tuple[int, int]] = []  # (dc_table, ac_table) per comp
@@ -358,7 +373,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         elif marker in (0xC2, 0xC3) or 0xC5 <= marker <= 0xCF and marker != 0xC8:
             raise ValueError("non-baseline JPEG unsupported")
         elif marker == 0xDD:
-            raise ValueError("restart intervals unsupported")
+            restart_interval = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDA:
             nc_s = body[0]
             for c in range(nc_s):
@@ -415,15 +430,18 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         blk = (zz[UNZIGZAG].reshape(8, 8) * qmats[c]).astype(np.float64)
         return _DCT.T @ blk @ _DCT
 
-    for my in range(mcuy):
-        for mx in range(mcux):
-            for c in range(nc):
-                hi, vi = samps[c]
-                for byy in range(vi):
-                    for bxx in range(hi):
-                        ry = (my * vi + byy) * 8
-                        rx = (mx * hi + bxx) * 8
-                        out_planes[c][ry : ry + 8, rx : rx + 8] = read_block(c)
+    for m_idx in range(mcuy * mcux):
+        my, mx = divmod(m_idx, mcux)
+        if restart_interval and m_idx and m_idx % restart_interval == 0:
+            rd.restart()
+            prev_dc[:] = [0] * nc  # DC predictors reset at every RSTn
+        for c in range(nc):
+            hi, vi = samps[c]
+            for byy in range(vi):
+                for bxx in range(hi):
+                    ry = (my * vi + byy) * 8
+                    rx = (mx * hi + bxx) * 8
+                    out_planes[c][ry : ry + 8, rx : rx + 8] = read_block(c)
     # upsample subsampled planes by pixel replication (box upsampling),
     # then crop every plane to the frame size
     planes = []

@@ -205,11 +205,13 @@ def test_jpeg_codec_roundtrip_gradients_and_gray():
         decode_jpeg(b"\xff\xd8\xff\xdb\x00\x03\x00")  # truncated DQT
 
 
-def _encode_subsampled(y, cb, cr, samp, quality=95):
+def _encode_subsampled(y, cb, cr, samp, quality=95, restart_interval=0):
     """Test-local MCU-interleaved encoder (T.81 A.2) over the module's own
     primitives: ``cb``/``cr`` arrive at SUBSAMPLED resolution, ``samp`` is
     the luma (hi, vi). Synthesizes the 4:2:0 / 4:2:2 streams the in-repo
-    encoder deliberately does not emit (VERDICT r4 next-round #7)."""
+    encoder deliberately does not emit (VERDICT r4 next-round #7). With
+    ``restart_interval`` > 0, emits a DRI segment and an RSTn marker (DC
+    predictors reset, byte-aligned with 1-pad) every that many MCUs."""
     import numpy as np
 
     from pdfz_ray.stages import jpeg_codec as jc
@@ -264,14 +266,23 @@ def _encode_subsampled(y, cb, cr, samp, quality=95):
             wtr.write(ec, el)
 
     mcuy, mcux = yby // vi, ybx // hi
-    for my in range(mcuy):
-        for mx in range(mcux):
-            for byy in range(vi):
-                for bxx in range(hi):
-                    write_block(0, yq[(my * vi + byy) * ybx + mx * hi + bxx])
-            write_block(1, cbq[my * cbx + mx])
-            write_block(2, crq[my * cbx + mx])
-    scan = wtr.flush()
+    scan_parts = []
+    n_rst = 0
+    for m_idx in range(mcuy * mcux):
+        my, mx = divmod(m_idx, mcux)
+        if restart_interval and m_idx and m_idx % restart_interval == 0:
+            scan_parts.append(wtr.flush())
+            scan_parts.append(bytes([0xFF, 0xD0 + (n_rst % 8)]))
+            n_rst += 1
+            wtr = jc._BitWriter()
+            prev[:] = [0, 0, 0]
+        for byy in range(vi):
+            for bxx in range(hi):
+                write_block(0, yq[(my * vi + byy) * ybx + mx * hi + bxx])
+        write_block(1, cbq[my * cbx + mx])
+        write_block(2, crq[my * cbx + mx])
+    scan_parts.append(wtr.flush())
+    scan = b"".join(scan_parts)
 
     import struct
 
@@ -283,6 +294,8 @@ def _encode_subsampled(y, cb, cr, samp, quality=95):
     out += jc._seg(0xC0, sof)
     out += jc._seg(0xC4, jc._dht_payload(0, 0, jc._DC_CODES))
     out += jc._seg(0xC4, jc._dht_payload(1, 0, jc._AC_CODES))
+    if restart_interval:
+        out += jc._seg(0xDD, struct.pack(">H", restart_interval))
     out += jc._seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
     out += scan
     out += b"\xff\xd9"
@@ -350,6 +363,38 @@ def test_jpeg_decode_420_and_422_subsampled():
     stream[i + 4 + 6 + 0 * 3 + 1] = 0x32  # comp1 (3,2): vmax=2, hmax=3, comp2 hi=2 → 3%2!=0
     with _pytest.raises(ValueError, match="non-integer sampling"):
         jc.decode_jpeg(bytes(stream))
+
+
+def test_jpeg_decode_restart_intervals():
+    """DRI/RSTn support (T.81 E.1.4 — round-5 extension): a stream with
+    restart markers decodes BIT-IDENTICALLY to the same coefficients
+    without them (the per-segment DC predictor reset and byte realignment
+    must cancel exactly); a declared DRI whose markers are absent raises
+    instead of desynchronizing."""
+    import struct as _struct
+
+    import numpy as np
+
+    from pdfz_ray.stages import jpeg_codec as jc
+
+    h, w = 24, 40  # 4:2:0 ⇒ 2×3 = 6 MCUs
+    y = ((np.add.outer(np.arange(h) * 7, np.arange(w) * 5) % 220) + 10).astype(
+        np.uint8
+    )
+    cb = np.full((h // 2, w // 2), 90.0)
+    cr = np.full((h // 2, w // 2), 170.0)
+    base = jc.decode_jpeg(_encode_subsampled(y, cb, cr, (2, 2)))
+    for ri in (1, 2, 4):  # boundary cases: every MCU, mid-row, row+
+        withr = jc.decode_jpeg(
+            _encode_subsampled(y, cb, cr, (2, 2), restart_interval=ri)
+        )
+        assert np.array_equal(withr, base), ri
+    # declared interval but no RSTn in the scan → loud failure
+    plain = _encode_subsampled(y, cb, cr, (2, 2))
+    i = plain.find(b"\xff\xda")
+    bad = plain[:i] + jc._seg(0xDD, _struct.pack(">H", 2)) + plain[i:]
+    with pytest.raises(ValueError, match="restart marker"):
+        jc.decode_jpeg(bad)
 
 
 # ---------------------------------------------------------------------------
