@@ -7,10 +7,11 @@ own. Scope: the ENCODER emits baseline sequential DCT (SOF0), 8-bit,
 grayscale or 3-component YCbCr 4:4:4 — exactly what the deterministic
 fixtures use. The DECODER is general over any table set carried in the
 stream (DQT/DHT are parsed, not assumed) AND over integer-ratio chroma
-subsampling (4:2:0 / 4:2:2 MCU interleaving per T.81 A.2) and restart
-intervals (DRI/RSTn) — the most common real-world baseline layouts,
-round-5 extensions — so real-world baseline JPEGs decode; progressive
-streams raise ValueError with a clear reason.
+subsampling (4:2:0 / 4:2:2 MCU interleaving per T.81 A.2), restart
+intervals (DRI/RSTn), and DHT-less streams via the Annex K typical
+tables — the common real-world baseline layouts, round-5 extensions —
+so real-world baseline JPEGs decode; progressive streams raise
+ValueError with a clear reason.
 
 Everything here derives from the public JPEG specification (ITU-T T.81):
 canonical Huffman construction, zigzag scan, the type-II DCT, and the
@@ -317,13 +318,88 @@ class _HuffTable:
         raise ValueError("invalid Huffman code in scan")
 
 
+# T.81 Annex K.3 "typical" Huffman tables (public spec constants) — the
+# tables a DHT-less stream (e.g. motion-JPEG frames) implies. Keyed
+# (class, dest): class 0 = DC, 1 = AC; dest 0 = luminance, 1 = chroma.
+_K3_TABLES: dict[tuple[int, int], tuple[list[int], list[int]]] = {
+    (0, 0): (  # K.3.3.1 luminance DC
+        [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+        list(range(12)),
+    ),
+    (0, 1): (  # K.3.3.1 chrominance DC
+        [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+        list(range(12)),
+    ),
+    (1, 0): (  # K.3.3.2 luminance AC
+        [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+        [
+            0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+            0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+            0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+            0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+            0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+            0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+            0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+            0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+            0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+            0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+            0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+            0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+            0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+            0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+            0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+            0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+            0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+            0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+            0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+            0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+            0xF9, 0xFA,
+        ],
+    ),
+    (1, 1): (  # K.3.3.2 chrominance AC
+        [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+        [
+            0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+            0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+            0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+            0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+            0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+            0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+            0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+            0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+            0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+            0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+            0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+            0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+            0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+            0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+            0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+            0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+            0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+            0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+            0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+            0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+            0xF9, 0xFA,
+        ],
+    ),
+}
+
+
+def _default_huff(tc: int, th: int) -> _HuffTable:
+    """Annex K typical table for (class, dest) — the JFIF convention maps
+    dest 0 → luminance, dest ≥1 → chrominance."""
+    lengths, syms = _K3_TABLES[(tc, 1 if th else 0)]
+    return _HuffTable(lengths, syms)
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Decode a baseline JPEG → uint8 array (h, w) for grayscale, else
-    (h, w, 3) RGB. Supports any in-stream DQT/DHT, integer-ratio chroma
-    subsampling (4:4:4, 4:2:2, 4:2:0 — MCU-interleaved per T.81 A.2, box
-    chroma upsampling), and restart intervals (DRI + RSTn, DC predictors
-    reset per T.81 E.1.4); rejects progressive streams with
-    ValueError."""
+    (h, w, 3) RGB. Supports any in-stream DQT/DHT (falling back to the
+    Annex K typical tables for table ids no DHT defined — the
+    motion-JPEG convention), integer-ratio chroma subsampling (4:4:4,
+    4:2:2, 4:2:0 — MCU-interleaved per T.81 A.2, box chroma upsampling),
+    and restart intervals (DRI + RSTn, DC predictors reset per T.81
+    E.1.4); rejects progressive streams with ValueError."""
     if not is_jpeg(payload):
         raise ValueError("not a JPEG stream")
     pos = 2
@@ -405,6 +481,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         qts[tq][UNZIGZAG].reshape(8, 8).astype(np.float64)
         for _, tq, *_ in comps
     ]
+
+    # DHT-less streams (e.g. motion-JPEG frames) imply the Annex K
+    # typical tables — install them for any table id the scan references
+    # that no DHT segment defined
+    for c in range(nc):
+        for tc, th in ((0, scan_map[c][0]), (1, scan_map[c][1])):
+            if (tc, th) not in huff:
+                huff[(tc, th)] = _default_huff(tc, th)
 
     def read_block(c: int) -> np.ndarray:
         dc_t = huff[(0, scan_map[c][0])]
